@@ -1,0 +1,65 @@
+"""Image resizing with torch-compatible semantics (NHWC).
+
+The reference leans on ``F.interpolate(mode='nearest'|'bilinear')`` and
+``torchvision.transforms.Resize`` for feature upsampling and label/logit
+resizing (e.g. swav_clustering.py:108-130, one_shot_pipeline.py:560-562).
+Implemented here as static gather / linear maps so they trace to cheap XLA
+gathers/matmuls with fully static shapes.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _nearest_indices(n_in, n_out):
+    # torch F.interpolate nearest: src = floor(dst * n_in / n_out)
+    idx = np.floor(np.arange(n_out) * (n_in / n_out)).astype(np.int32)
+    return np.minimum(idx, n_in - 1)
+
+
+def resize_nearest(x, size):
+    """NHWC nearest resize matching F.interpolate(mode='nearest')."""
+    h, w = (size, size) if isinstance(size, int) else size
+    b, ih, iw, c = x.shape
+    if (ih, iw) == (h, w):
+        return x
+    ri = jnp.asarray(_nearest_indices(ih, h))
+    ci = jnp.asarray(_nearest_indices(iw, w))
+    return x[:, ri][:, :, ci]
+
+
+@functools.lru_cache(maxsize=None)
+def _bilinear_matrix(n_in, n_out, align_corners=False):
+    """Row-resampling matrix for bilinear interpolation (torch semantics)."""
+    R = np.zeros((n_out, n_in), dtype=np.float32)
+    for o in range(n_out):
+        if align_corners and n_out > 1:
+            src = o * (n_in - 1) / (n_out - 1)
+        else:
+            src = (o + 0.5) * n_in / n_out - 0.5
+        src = min(max(src, 0.0), n_in - 1)
+        lo = int(np.floor(src))
+        hi = min(lo + 1, n_in - 1)
+        frac = src - lo
+        R[o, lo] += 1.0 - frac
+        R[o, hi] += frac
+    return R
+
+
+def resize_bilinear(x, size, align_corners=False):
+    """NHWC bilinear resize matching F.interpolate(mode='bilinear').
+
+    Factored into two banded matmuls (MXU-friendly), like upfirdn2d.
+    """
+    h, w = (size, size) if isinstance(size, int) else size
+    b, ih, iw, c = x.shape
+    if (ih, iw) == (h, w):
+        return x
+    Rh = jnp.asarray(_bilinear_matrix(ih, h, align_corners)).astype(x.dtype)
+    Rw = jnp.asarray(_bilinear_matrix(iw, w, align_corners)).astype(x.dtype)
+    t = jnp.einsum("oh,bhwc->bowc", Rh, x, precision="highest")
+    return jnp.einsum("pw,bowc->bopc", Rw, t, precision="highest")

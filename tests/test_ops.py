@@ -1,0 +1,195 @@
+"""Parity tests for ops: upfirdn2d (ref vs matmul vs numpy oracle), fused act.
+
+Mirrors the reference's own dual-path testing seam: the CUDA kernels keep
+pure-PyTorch fallbacks precisely so outputs can be cross-checked
+(lib/gan/optim/upfirdn2d.py:156-160).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ganecdotes_tpu.ops import (
+    blur_2d,
+    downsample_2d,
+    fused_leaky_relu,
+    make_kernel,
+    resize_bilinear,
+    resize_nearest,
+    upfirdn2d,
+    upfirdn2d_ref,
+    upsample_2d,
+)
+from ganecdotes_tpu.ops.fused_act import fused_leaky_relu_pallas
+from ganecdotes_tpu.ops.grid_sample import grid_sample_bilinear
+
+
+def upfirdn2d_numpy_oracle(x, kernel, up, down, pad):
+    """Direct per-pixel spec implementation: zero-insert, pad, convolve, subsample."""
+    b, h, w, c = x.shape
+    kh, kw = kernel.shape
+    pad0, pad1 = pad
+    up_h = np.zeros((b, h * up, w * up, c), x.dtype)
+    up_h[:, ::up, ::up, :] = x
+    padded = np.zeros(
+        (b, h * up + pad0 + pad1, w * up + pad0 + pad1, c), x.dtype
+    )
+    if pad0 >= 0 and pad1 >= 0:
+        padded[:, pad0 : pad0 + h * up, pad0 : pad0 + w * up, :] = up_h
+    else:
+        raise NotImplementedError
+    oh = (h * up + pad0 + pad1 - kh) // down + 1
+    ow = (w * up + pad0 + pad1 - kw) // down + 1
+    out = np.zeros((b, oh, ow, c), np.float64)
+    # true convolution: out[i,j] = sum_k K[p,q] * padded[i*down + (kh-1-p), ...]
+    # equivalently cross-correlate with the flipped kernel
+    kf = kernel[::-1, ::-1]
+    for i in range(oh):
+        for j in range(ow):
+            patch = padded[:, i * down : i * down + kh, j * down : j * down + kw, :]
+            out[:, i, j, :] = np.einsum("bhwc,hw->bc", patch, kf)
+    return out.astype(x.dtype)
+
+
+@pytest.mark.parametrize(
+    "up,down,pad",
+    [
+        (1, 1, (1, 1)),
+        (2, 1, (2, 1)),
+        (1, 2, (2, 1)),
+        (2, 1, (1, 1)),
+        (1, 2, (1, 1)),
+        (1, 1, (2, 2)),
+    ],
+)
+def test_upfirdn2d_matches_numpy_oracle(up, down, pad):
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 8, 8, 3).astype(np.float32)
+    k = np.asarray(make_kernel([1, 3, 3, 1]))
+
+    want = upfirdn2d_numpy_oracle(x, k, up, down, pad)
+    got_ref = upfirdn2d_ref(jnp.asarray(x), jnp.asarray(k), up, down, pad)
+    got_mm = upfirdn2d(jnp.asarray(x), jnp.asarray(k), up, down, pad, impl="matmul")
+
+    np.testing.assert_allclose(got_ref, want, atol=1e-5)
+    np.testing.assert_allclose(got_mm, want, atol=1e-5)
+
+
+def test_upfirdn2d_grad_paths_agree():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    k = make_kernel([1, 3, 3, 1], gain=4.0)
+
+    f_ref = lambda v: upfirdn2d_ref(v, k, 2, 1, (2, 1)).sum()
+    f_mm = lambda v: upfirdn2d(v, k, 2, 1, (2, 1), impl="matmul").sum()
+
+    g_ref = jax.grad(f_ref)(x)
+    g_mm = jax.grad(f_mm)(x)
+    np.testing.assert_allclose(g_ref, g_mm, atol=1e-5)
+
+
+def test_stylegan_resampling_shapes():
+    x = jnp.zeros((2, 16, 16, 8))
+    assert upsample_2d(x).shape == (2, 32, 32, 8)
+    assert downsample_2d(x).shape == (2, 8, 8, 8)
+    # blur used after conv_transpose in ModulatedConv2d upsample: pad (1,1),
+    # gain 4 — shrinks 2h+1 -> 2h
+    y = jnp.zeros((2, 33, 33, 8))
+    assert blur_2d(y, pad=(1, 1), upsample_factor=2).shape == (2, 32, 32, 8)
+
+
+def test_upsample_downsample_roundtrip_dc():
+    # a constant image must stay (nearly) constant through up/down sampling
+    x = jnp.ones((1, 16, 16, 2))
+    up = upsample_2d(x)
+    np.testing.assert_allclose(up[0, 4:-4, 4:-4, 0], 1.0, atol=1e-4)
+    down = downsample_2d(x)
+    np.testing.assert_allclose(down[0, 2:-2, 2:-2, 0], 1.0, atol=1e-4)
+
+
+def test_fused_leaky_relu_matches_formula():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 4, 4, 8).astype(np.float32))
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    got = fused_leaky_relu(x, b)
+    v = np.asarray(x) + np.asarray(b)
+    want = np.where(v >= 0, v, 0.2 * v) * np.sqrt(2.0)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_fused_leaky_relu_pallas_parity_and_grad():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 4, 4, 8).astype(np.float32))
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+
+    np.testing.assert_allclose(
+        fused_leaky_relu_pallas(x, b), fused_leaky_relu(x, b), rtol=1e-6
+    )
+
+    g1 = jax.grad(lambda v, w: (fused_leaky_relu_pallas(v, w) ** 2).sum(), (0, 1))(
+        x, b
+    )
+    g2 = jax.grad(lambda v, w: (fused_leaky_relu(v, w) ** 2).sum(), (0, 1))(x, b)
+    np.testing.assert_allclose(g1[0], g2[0], rtol=1e-5)
+    np.testing.assert_allclose(g1[1], g2[1], rtol=1e-5)
+
+
+def test_resize_nearest_matches_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 5, 7, 3).astype(np.float32)
+    for size in [(10, 14), (256, 256), (3, 4)]:
+        want = (
+            F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2), size, mode="nearest")
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        got = resize_nearest(jnp.asarray(x), size)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_resize_bilinear_matches_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(1, 8, 8, 2).astype(np.float32)
+    for size, ac in [((16, 16), False), ((5, 9), False), ((16, 16), True)]:
+        want = (
+            F.interpolate(
+                torch.from_numpy(x).permute(0, 3, 1, 2),
+                size,
+                mode="bilinear",
+                align_corners=ac,
+            )
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        got = resize_bilinear(jnp.asarray(x), size, align_corners=ac)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_grid_sample_matches_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(6)
+    x = rng.randn(2, 9, 9, 3).astype(np.float32)
+    grid = (rng.rand(2, 6, 6, 2).astype(np.float32) * 2.4) - 1.2  # incl. OOB
+
+    want = (
+        F.grid_sample(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            torch.from_numpy(grid),
+            mode="bilinear",
+            padding_mode="zeros",
+            align_corners=False,
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    got = grid_sample_bilinear(jnp.asarray(x), jnp.asarray(grid))
+    np.testing.assert_allclose(got, want, atol=1e-5)
