@@ -1,0 +1,27 @@
+from ganecdotes_tpu import ROOT_DIR
+
+# Pretrained generator checkpoint (rosinality g_ema layout, converted at load
+# time by ganecdotes_tpu.models.stylegan2.convert). Missing file => the
+# pipeline falls back to a randomly initialized generator (no checkpoints
+# ship with this repo).
+model_path = ROOT_DIR + '/checkpoints/standard/horse_256_rp/stylegan2-horse-config-f.pt'
+
+num_latents_for_mean = 4096
+truncation = 0.7
+image_size = 256
+latent_dim = 512
+
+gen_args = dict(size=image_size,
+                style_dim=latent_dim,
+                n_mlp=8)
+
+is_baggan = False
+
+sample_latents = ROOT_DIR + '/checkpoints/standard/horse_256_rp/latents.pt'
+sample_labels  = ROOT_DIR + '/checkpoints/standard/horse_256_rp/labels.pt'
+sample_images  = ROOT_DIR + '/checkpoints/standard/horse_256_rp/images/'
+
+one_shot_ind = 4
+
+classes = ['background',
+           'rider']

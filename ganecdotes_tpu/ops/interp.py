@@ -61,5 +61,5 @@ def resize_bilinear(x, size, align_corners=False):
         return x
     Rh = jnp.asarray(_bilinear_matrix(ih, h, align_corners)).astype(x.dtype)
     Rw = jnp.asarray(_bilinear_matrix(iw, w, align_corners)).astype(x.dtype)
-    t = jnp.einsum("oh,bhwc->bowc", Rh, x, precision="highest")
-    return jnp.einsum("pw,bowc->bopc", Rw, t, precision="highest")
+    t = jnp.einsum("oh,bhwc->bowc", Rh, x)
+    return jnp.einsum("pw,bowc->bopc", Rw, t)

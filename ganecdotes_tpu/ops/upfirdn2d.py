@@ -53,7 +53,9 @@ def make_kernel(k, gain=1.0):
     if k.ndim == 1:
         k = np.outer(k, k)
     k = k / k.sum()
-    return jnp.asarray(k * gain)
+    # stays a numpy constant: converting to a device array inside a jit trace
+    # would lift it to a tracer and defeat the host-side separability analysis
+    return k * gain
 
 
 def _normalize_args(up, down, pad):
@@ -160,9 +162,9 @@ def _upfirdn2d_matmul(x, taps_y, taps_x, up, down, pad):
     Rw = jnp.asarray(_resample_matrix(w, taps_x, up_x, down_x, pad_x0, pad_x1))
     dt = x.dtype
     # rows pass: (O,H)·(B,H,W,C) -> (B,O,W,C); cols pass: (P,W)·... -> (B,O,P,C)
-    t = jnp.einsum("oh,bhwc->bowc", Rh.astype(dt), x, precision="highest",
+    t = jnp.einsum("oh,bhwc->bowc", Rh.astype(dt), x, 
                    preferred_element_type=dt)
-    y = jnp.einsum("pw,bowc->bopc", Rw.astype(dt), t, precision="highest",
+    y = jnp.einsum("pw,bowc->bopc", Rw.astype(dt), t, 
                    preferred_element_type=dt)
     return y
 
@@ -175,7 +177,14 @@ def upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0), impl="auto"):
     """
     if impl == "ref":
         return upfirdn2d_ref(x, kernel, up=up, down=down, pad=pad)
-    taps = _separable_taps(np.asarray(kernel))
+    try:
+        kernel_np = np.asarray(kernel)
+    except Exception:
+        # traced (non-constant) kernel: separability can't be decided on host
+        if impl == "matmul":
+            raise ValueError("upfirdn2d impl='matmul' requires a constant kernel")
+        return upfirdn2d_ref(x, kernel, up=up, down=down, pad=pad)
+    taps = _separable_taps(kernel_np)
     if taps is None:
         if impl == "matmul":
             raise ValueError("upfirdn2d impl='matmul' requires a separable kernel")

@@ -1,0 +1,57 @@
+"""SPMD mesh helpers — data-parallel scaling over ICI.
+
+The reference's only distributed machinery is an (unused) DataParallel/DDP
+wrap and one guarded all_reduce (models/baggan/gan_util.py:154-160,
+lib/gan/ada.py:15-25). The TPU-native equivalents (per SURVEY.md §2's
+parallelism inventory):
+
+* batched generate+segment inference: batch sharded over the mesh's 'data'
+  axis with replicated params — XLA partitions the whole jitted program,
+  collectives ride ICI;
+* SSL/GAN training: replicated-parameter SPMD; gradient reduction is the
+  psum XLA inserts when the loss averages over the sharded batch axis.
+
+These helpers centralize mesh construction so every entry point (pipeline,
+bench, dryrun) shards the same way.
+"""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices=None, axis="data"):
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_batch(mesh, x, axis="data"):
+    """Place a batched array with its leading dim split over the mesh."""
+    return jax.device_put(x, NamedSharding(mesh, P(axis)))
+
+
+def replicate(mesh, tree):
+    """Replicate a param pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def data_parallel_infer(mesh, infer_fn, params_tree, latents, axis="data"):
+    """Run a jitted (params, latents)->outputs program data-parallel.
+
+    The batch must be a multiple of the mesh size; params are replicated,
+    the batch is split along the leading axis, outputs come back sharded.
+    """
+    params_tree = replicate(mesh, params_tree)
+    latents = shard_batch(mesh, latents, axis)
+    fn = jax.jit(
+        infer_fn,
+        in_shardings=(
+            jax.tree.map(lambda _: NamedSharding(mesh, P()), params_tree),
+            NamedSharding(mesh, P(axis)),
+        ),
+        out_shardings=NamedSharding(mesh, P(axis)),
+    )
+    return fn(params_tree, latents)

@@ -1,0 +1,726 @@
+"""One-shot segmentation pipeline — setup / train / test orchestrator.
+
+Behavioral twin of src/one_shot_pipeline.py:33-902, TPU-re-architected:
+
+* the test block's generate→embed→segment path compiles into ONE jitted
+  batched program per method (the reference runs MAX_TEST_BATCH=1 and
+  round-trips features through the CPU, :610-665);
+* the supervised fine-tune is a single lax.scan (pipeline.trainer);
+* everything stays NHWC on device until masks are fetched for metrics.
+
+Config resolution, block structure, method dispatch, metric table layout,
+and output artifacts (CSVs, results.npz, collages, label_predictions) follow
+the reference so downstream tooling is drop-in.
+"""
+
+import os
+import random
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ganecdotes_tpu.models.stylegan2.generator import (
+    Generator,
+    generator_forward,
+)
+from ganecdotes_tpu.metrics.segmentation import (
+    get_bb_dice,
+    get_bb_iou,
+    get_bin_iou,
+    get_iou_vs_pd_curve,
+    get_mask_dice,
+    get_mask_iou,
+    get_pd_at_iou_threshold,
+    get_weighted_iou,
+    plot_iou_vs_pd_curve,
+)
+from ganecdotes_tpu.ops.interp import resize_nearest
+from ganecdotes_tpu.selfsup.embed import pixel_feature_maps
+from ganecdotes_tpu.selfsup.heads import (
+    init_one_shot_segmentor,
+    init_pixel_classifier,
+    one_shot_segmentor_apply,
+    pixel_classifier_apply,
+)
+from ganecdotes_tpu.selfsup.kmeans import HFCPreprocessor
+from ganecdotes_tpu.selfsup.simclr import SimCLRClustering
+from ganecdotes_tpu.selfsup.swav import SwAVClustering, swav_predict_from_features
+from ganecdotes_tpu.utils.util import get_logger, load_config
+from ganecdotes_tpu.utils.visualization import (
+    create_pil_collage,
+    sample_label_colors,
+    visualize_label_mask,
+)
+
+MAX_TEST_BATCH = 8  # the reference hardcodes 1 (:30); TPU batches over the MXU
+
+
+def _load_tensor(path):
+    """Load latents/labels shipped as torch .pt or numpy .npz/.npy."""
+    if path.endswith(".pt"):
+        import torch
+
+        t = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(t, (tuple, list)):
+            return tuple(np.asarray(x) for x in t)
+        return np.asarray(t)
+    data = np.load(path, allow_pickle=False)
+    if hasattr(data, "files"):
+        return np.asarray(data[data.files[0]])
+    return np.asarray(data)
+
+
+class OneShotPipeline:
+    def __init__(self, out_dir, exp_name="", model="ffhq-256",
+                 segmentor="hfc_kmeans", trainer="supervised", tester="all",
+                 mode="offline", inputs="saved", custom=None, device=None,
+                 num_test_samples=None, seed=42):
+        del device  # single-controller JAX: devices come from the mesh
+        from ganecdotes_tpu.configs import mapper as config_mapper
+
+        self.config_mapper = config_mapper
+        self.out_dir = out_dir
+        os.makedirs(self.out_dir, exist_ok=True)
+
+        self.start_time = time.strftime("%m%d%Y_%H%M%S", time.localtime())
+        self.logfile = os.path.join(
+            self.out_dir, f"one_shot_learner_{self.start_time}.log"
+        )
+        self.logger = get_logger("OneShot", self.logfile)
+        self.summary_writer = _TensorBoardShim(
+            os.path.join(self.out_dir, "tensorboard", f"run_{self.start_time}")
+        )
+
+        self.model_str = model
+        self.seg_str = segmentor
+        self.train_str = trainer
+        self.test_str = tester
+        self.mode = mode
+        self.inputs = inputs
+        self.exp_name = exp_name
+        self.key = jax.random.PRNGKey(seed)
+
+        self.logger.info("=" * 80)
+        self.logger.info("One-Shot Learning Pipeline for StyleGANs (TPU)")
+        self.logger.info("=" * 80 + "\n")
+        self.logger.info("Loading Configurations ....")
+        self.logger.info(self.exp_name)
+
+        self.configs = {
+            "model": config_mapper.models[self.model_str],
+            "seg": config_mapper.segmentors[self.seg_str],
+            "trainer": config_mapper.trainer[self.train_str],
+        }
+        if custom is not None:
+            self.configs.update(custom)
+
+        self.logger.info("Loading Pipeline Blocks ...\n")
+        self.load_model()
+        self.load_segmentor()
+        self.load_trainer()
+        self.logger.info("Loading Pipeline Blocks ... Done.")
+
+        self.num_test_samples = num_test_samples
+
+    # ------------------------------------------------------------------
+
+    def load_model(self):
+        """Pretrained StyleGAN2 (or BagGAN) generator (ref :118-178)."""
+        self.logger.info("Loading Pretrained StyleGAN2 Model ... ")
+        self.model_config = load_config(self.configs["model"], "model_config")
+
+        self.key, kg = jax.random.split(self.key)
+
+        if not self.model_config.is_baggan:
+            self.model = Generator(**self.model_config.gen_args, key=kg)
+            path = self.model_config.model_path
+            if path and os.path.exists(path):
+                from ganecdotes_tpu.models.stylegan2.convert import (
+                    load_torch_checkpoint,
+                )
+
+                self.model.params, self.model.meta = load_torch_checkpoint(
+                    path, self.model_config.gen_args["size"],
+                    style_dim=self.model_config.gen_args.get("style_dim", 512),
+                    n_mlp=self.model_config.gen_args.get("n_mlp", 8),
+                )
+                self.logger.info(f"Loaded checkpoint: {path}")
+            else:
+                self.logger.warning(
+                    f"Checkpoint not found at {path} - using randomly "
+                    "initialized generator weights"
+                )
+        else:
+            from ganecdotes_tpu.models.baggan import load_baggan_generator
+
+            self.model = load_baggan_generator(
+                self.model_config, key=kg, logger=self.logger
+            )
+
+        self.color_map = sample_label_colors(len(self.model_config.classes))
+        self.key, km = jax.random.split(self.key)
+        self.mean_latent = self.model.mean_latent(
+            self.model_config.num_latents_for_mean, key=km
+        )
+        self.logger.info(f"Model Name: {self.model_str}")
+
+    def load_segmentor(self):
+        """Segmentor + preprocessor selection (ref :181-224)."""
+        self.logger.info("Loading Segmentor Network ... ")
+        self.seg_config = load_config(self.configs["seg"], "seg_config")
+        self.segmentor_params = None
+        self.preprocessor = None
+
+        if self.seg_str == "hfc_kmeans":
+            self.preprocessor = HFCPreprocessor(
+                model=self.model,
+                model_config=self.model_config,
+                out_dir=self.out_dir,
+                logger=self.logger,
+                **self.seg_config.hfc_prep_args,
+            )
+
+    def load_trainer(self):
+        self.logger.info("Loading Trainer ... ")
+        self.trainer_config = load_config(self.configs["trainer"], "trainer_config")
+        for k in dir(self.trainer_config):
+            if not k.startswith("__"):
+                self.logger.info(f"{k}: {getattr(self.trainer_config, k)}")
+
+    # ------------------------------------------------------------------
+
+    def _build_ssl_preprocessor(self):
+        args = dict(self.seg_config.hfc_prep_args)
+        cls = (
+            SwAVClustering
+            if "hfc_with_swav" in self.seg_str
+            else SimCLRClustering
+        )
+        return cls(
+            model=self.model,
+            model_config=self.model_config,
+            out_dir=self.out_dir,
+            logger=self.logger,
+            tb=self.summary_writer,
+            **args,
+        )
+
+    def get_image_from_latent(self, latent, return_features=False):
+        img, feat = self.model(
+            [jnp.asarray(latent)],
+            truncation=self.model_config.truncation,
+            truncation_latent=self.mean_latent,
+            input_is_latent=True,
+            randomize_noise=False,
+        )
+        return (img, feat) if return_features else img
+
+    # ------------------------------------------------------------------
+
+    def _synthesize_samples(self, n):
+        """Fallback test data when checkpoints/latents/labels don't ship.
+
+        Latents: style(randn). Labels: luminance-quantile pseudo-classes of
+        the generated images — deterministic, learnable structure so the
+        one-shot loop and metrics exercise end-to-end.
+        """
+        self.logger.warning(
+            "sample latents/labels not found - synthesizing pseudo-labelled "
+            f"samples ({n})"
+        )
+        self.key, kz = jax.random.split(self.key)
+        z = jax.random.normal(kz, (n, self.model_config.latent_dim))
+        w = self.model.style(z)
+
+        imgs = []
+        for i in range(0, n, MAX_TEST_BATCH):
+            img = self.get_image_from_latent(w[i : i + MAX_TEST_BATCH])
+            imgs.append(np.asarray(img))
+        imgs = np.concatenate(imgs, axis=0)
+        size = self.model_config.image_size
+        imgs = np.asarray(resize_nearest(jnp.asarray(imgs), size))
+        lum = imgs.mean(axis=-1)
+        n_class = len(self.model_config.classes)
+        qs = np.quantile(lum, np.linspace(0, 1, n_class + 1)[1:-1])
+        labels = np.digitize(lum, qs).astype(np.int64)
+        return np.asarray(w), labels
+
+    def run_pipeline(self, input_latent=None, input_noises=None,
+                     blocks_to_run=("setup", "train", "test")):
+        if "setup" in blocks_to_run:
+            lat_path = self.model_config.sample_latents
+            lbl_path = self.model_config.sample_labels
+
+            if os.path.exists(lat_path) and os.path.exists(lbl_path):
+                lat = _load_tensor(lat_path)
+                if not hasattr(self.model_config, "sample_noises") and isinstance(
+                    lat, tuple
+                ):
+                    lat = lat[0]
+                self.test_latents = np.asarray(lat)
+                self.test_labels = np.asarray(_load_tensor(lbl_path))
+            else:
+                n = self.num_test_samples or 10
+                self.test_latents, self.test_labels = self._synthesize_samples(
+                    n + 1
+                )
+
+            self.test_indices = list(range(self.test_labels.shape[0]))
+
+            ind = self.model_config.one_shot_ind
+            ind = min(ind, self.test_latents.shape[0] - 1)
+            self.one_shot_latent = jnp.asarray(self.test_latents[ind, :])
+
+            if self.test_labels.max() < 1:
+                self.test_labels = self.test_labels * 255
+
+            # special case for LSUN cars (ref :377-383)
+            if "p-car" in self.model_str:
+                lbl = np.zeros(
+                    (self.test_labels.shape[0], self.test_labels.shape[2],
+                     self.test_labels.shape[2])
+                )
+                lbl[:, 256 - 192 : 256 + 192, :] = self.test_labels.copy()
+                self.test_labels = lbl
+
+            self.one_shot_label = jnp.asarray(
+                self.test_labels[ind : ind + 1].astype(np.int64)
+            )
+
+            if self.mode == "online" and input_latent is not None:
+                self.one_shot_latent = jnp.asarray(input_latent)
+
+            one_shot_in = self.one_shot_latent
+            if one_shot_in.ndim == 1:
+                one_shot_in = one_shot_in[None]
+            self.one_shot_img, self.one_shot_features = self.model(
+                [one_shot_in],
+                truncation=self.model_config.truncation,
+                truncation_latent=self.mean_latent,
+                input_is_latent=True,
+                randomize_noise=False,
+            )
+
+            if self.mode == "online" and input_latent is None:
+                from ganecdotes_tpu.gui.labeller import OneShotLabellerGUI
+
+                self.logger.info("Initializing GUI ...")
+                self.labeller = OneShotLabellerGUI(
+                    self.transform_im_for_gui(self.one_shot_img),
+                    self.model_config.classes,
+                )
+                self.one_shot_label = jnp.asarray(
+                    self.labeller.get_labels()
+                )[None]
+
+            if input_latent is None:
+                self.test_indices.remove(ind)
+                self.test_latents = np.concatenate(
+                    [self.test_latents[:ind], self.test_latents[ind + 1 :]], 0
+                )
+                self.test_labels = np.concatenate(
+                    [self.test_labels[:ind], self.test_labels[ind + 1 :]], 0
+                )
+
+            if self.num_test_samples is None:
+                self.num_test_samples = self.test_labels.shape[0]
+            self.num_test_samples = min(
+                self.num_test_samples, self.test_labels.shape[0]
+            )
+
+        if "train" in blocks_to_run:
+            self.run_trainer()
+
+        if "test" in blocks_to_run:
+            self.run_tests()
+
+    # ------------------------------------------------------------------
+
+    def _extract_one_shot_features(self):
+        """Method dispatch for one-shot training features (ref :475-531)."""
+        if self.seg_str in ["repurposegan", "datasetgan"]:
+            return pixel_feature_maps(
+                self.one_shot_features, n_layers=self.seg_config.n_layers
+            )
+
+        if self.seg_str == "hfc_kmeans":
+            if self.seg_config.train_hfc:
+                self.preprocessor.train_hfc_model(self.one_shot_latent)
+            feats, _ = self.preprocessor.predict_hfc_vectors(self.one_shot_latent)
+            return feats
+
+        # hfc_with_swav* / hfc_with_simclr
+        if self.preprocessor is None or not isinstance(
+            self.preprocessor, (SwAVClustering, SimCLRClustering)
+        ):
+            self.preprocessor = self._build_ssl_preprocessor()
+
+        if self.seg_config.train_hfc:
+            self.preprocessor.preprocess(self.one_shot_latent)
+        elif getattr(self.preprocessor, "ssl_params", None) is None and isinstance(
+            self.preprocessor, SwAVClustering
+        ):
+            self.preprocessor.preprocess(self.one_shot_latent)
+        elif getattr(self.preprocessor, "params", None) is None and isinstance(
+            self.preprocessor, SimCLRClustering
+        ):
+            self.preprocessor.preprocess(self.one_shot_latent)
+
+        if "hfc_with_swav" in self.seg_str:
+            feats, _ = self.preprocessor.predict_swav_codes(self.one_shot_latent)
+        else:
+            feats, _ = self.preprocessor.predict_simclr_codes(self.one_shot_latent)
+        return feats
+
+    def run_trainer(self):
+        if self.train_str != "supervised":
+            raise ValueError(f"unknown trainer {self.train_str}")
+
+        self.one_shot_train_features = jax.lax.stop_gradient(
+            self._extract_one_shot_features()
+        )
+
+        n_class = len(self.model_config.classes)
+        in_ch = int(self.one_shot_train_features.shape[-1])
+        seg_args = dict(self.seg_config.seg_args)
+        seg_args.pop("in_ch", None)
+        self.seg_size = seg_args.get("size", "S")
+
+        self.key, kseg = jax.random.split(self.key)
+        if self.seg_str == "datasetgan":
+            self.segmentor_params, self.segmentor_state = init_pixel_classifier(
+                kseg, in_ch, n_class
+            )
+            self._seg_is_mlp = True
+        else:
+            self.segmentor_params = init_one_shot_segmentor(
+                kseg, in_ch, n_class, self.seg_size
+            )
+            self._seg_is_mlp = False
+
+        self._train_segmentor()
+
+    def _train_segmentor(self):
+        """Supervised fine-tune (ref :533-581) as chunked jitted scans."""
+        from ganecdotes_tpu.configs import mapper as config_mapper
+        from ganecdotes_tpu.pipeline.trainer import make_supervised_finetune
+
+        tc = self.trainer_config
+        lambdas = list(tc.lambdas)
+        lam_sum = sum(lambdas)
+        loss_terms = [
+            (lam / lam_sum, config_mapper.losses[name])
+            for name, lam in zip(tc.losses, lambdas)
+        ]
+        sched = config_mapper.lr_scheduler[tc.scheduler_type](**tc.scheduler_args)
+
+        size = self.seg_size
+        is_mlp = self._seg_is_mlp
+
+        if is_mlp:
+            state = self.segmentor_state
+
+            def apply_fn(params, x):
+                logits, _ = pixel_classifier_apply(params, state, x, train=True)
+                return logits
+
+        else:
+
+            def apply_fn(params, x):
+                return one_shot_segmentor_apply(params, x, size)
+
+        chunk = max(1, int(tc.print_freq))
+        optimizer, run_chunk = make_supervised_finetune(
+            apply_fn,
+            loss_terms,
+            self.model_config.image_size,
+            tc.lr,
+            betas=(tc.beta1, tc.beta2),
+            lr_sched=sched if callable(sched) else None,
+            num_epochs=tc.num_epochs,
+            chunk=chunk,
+        )
+        opt_state = optimizer.init(self.segmentor_params)
+
+        features = self.one_shot_train_features
+        label = self.one_shot_label
+
+        start = time.time()
+        done = 0
+        while done < tc.num_epochs:
+            self.segmentor_params, opt_state, loss = run_chunk(
+                self.segmentor_params, opt_state, features, label
+            )
+            done += chunk
+            self.logger.info(
+                f"{done:5}-th epoch | loss: {float(loss):6.4f} | "
+                f"time: {time.time() - start:6.1f}sec"
+            )
+        # eval-mode BN for the datasetgan head: refresh stats once
+        if is_mlp:
+            _, self.segmentor_state = pixel_classifier_apply(
+                self.segmentor_params, self.segmentor_state, features, train=True
+            )
+        self.logger.info("******* Training Complete ********")
+
+    # ------------------------------------------------------------------
+
+    def transform_im_for_gui(self, im):
+        return np.clip(np.asarray(im), -1.0, 1.0) * 0.5 + 0.5
+
+    def _make_infer_fn(self):
+        """ONE jitted batched generate→embed→segment program per method."""
+        meta = self.model.meta
+        truncation = self.model_config.truncation
+        mean_latent = self.mean_latent
+        seg_size = self.seg_size
+        seg_str = self.seg_str
+
+        if "hfc_with_swav" in seg_str or seg_str == "hfc_with_simclr":
+            pre = self.preprocessor
+
+            if "hfc_with_swav" in seg_str:
+                ssl_params = pre.ssl_params
+                hlen = pre.swav_args["hlen"]
+                interp = pre.swav_args.get("hf_interp", "nearest")
+                projn = pre.swav_args["projn_nw"]
+
+                def embed(gen_params, feats):
+                    return swav_predict_from_features(
+                        ssl_params, feats, hlen, pre.nclasses, projn, interp
+                    )
+
+            else:
+                from ganecdotes_tpu.selfsup.simclr import simclr_projection
+                from ganecdotes_tpu.selfsup.swav import feature_norm_map
+                from ganecdotes_tpu.selfsup.embed import project_feature_maps
+
+                params = pre.params
+                hlen = pre.simclr_args["hlen"]
+                interp = pre.simclr_args.get("hf_interp", "nearest")
+
+                def embed(gen_params, feats):
+                    z = project_feature_maps(
+                        feats, params["lin1"]["weight"], hlen=hlen, interp=interp
+                    )
+                    z = z / jnp.maximum(
+                        feature_norm_map(feats, hlen)[..., None], 1e-12
+                    )
+                    b, h, w, c = z.shape
+                    return simclr_projection(params, z.reshape(-1, c)).reshape(
+                        b, h, w, -1
+                    )
+
+        elif seg_str in ["repurposegan", "datasetgan"]:
+            n_layers = self.seg_config.n_layers
+
+            def embed(gen_params, feats):
+                return pixel_feature_maps(feats, n_layers=n_layers)
+
+        elif seg_str == "hfc_kmeans":
+            embed = None  # host-orchestrated (beliefs / per-layer clusterers)
+
+        if seg_str == "hfc_kmeans":
+
+            def infer(gen_params, seg_params, latents):
+                feats, _ = self.preprocessor.predict_hfc_vectors(latents)
+                logits = one_shot_segmentor_apply(seg_params, feats, seg_size)
+                img = self.get_image_from_latent(latents)
+                return img, jnp.argmax(logits, axis=-1)
+
+            return infer
+
+        is_mlp = self._seg_is_mlp
+        state = self.segmentor_state if is_mlp else None
+
+        @jax.jit
+        def infer(gen_params, seg_params, latents):
+            img, feats = generator_forward(
+                gen_params, meta, [latents], input_is_latent=True,
+                truncation=truncation, truncation_latent=mean_latent,
+                randomize_noise=False,
+            )
+            z = embed(gen_params, feats)
+            if is_mlp:
+                logits, _ = pixel_classifier_apply(
+                    seg_params, state, z, train=False
+                )
+            else:
+                logits = one_shot_segmentor_apply(seg_params, z, seg_size)
+            return img, jnp.argmax(logits, axis=-1)
+
+        return infer
+
+    def run_tests(self):
+        """Batched test block + metrics (ref :595-885)."""
+        self.test_dir = os.path.join(self.out_dir, "tests")
+        self.test_img_dir = os.path.join(self.test_dir, "images")
+        os.makedirs(self.test_img_dir, exist_ok=True)
+
+        infer = self._make_infer_fn()
+
+        pred_labels = []
+        test_images = []
+        inference_times = []
+        n = self.num_test_samples
+        for bs in range(0, n, MAX_TEST_BATCH):
+            t0 = time.time()
+            chunk_lat = self.test_latents[bs : bs + MAX_TEST_BATCH]
+            pad = MAX_TEST_BATCH - chunk_lat.shape[0]
+            if pad > 0:  # pad the ragged tail so one compilation serves all
+                chunk_lat = np.concatenate(
+                    [chunk_lat, np.repeat(chunk_lat[-1:], pad, axis=0)], 0
+                )
+            latents = jnp.asarray(chunk_lat)
+            img, pred = infer(self.model.params, self.segmentor_params, latents)
+            pred = jax.block_until_ready(pred)
+            inference_times.append(time.time() - t0)
+            pred_labels.append(np.asarray(pred))
+            test_images.append(np.asarray(img))
+
+        pred_labels = np.concatenate(pred_labels, axis=0)[:n]
+        test_images = np.concatenate(test_images, axis=0)[:n]
+
+        np.save(os.path.join(self.test_dir, "label_predictions.npy"), pred_labels)
+
+        size = self.model_config.image_size
+        results = {}
+        classes = self.model_config.classes
+        ims = [[], [], []]
+
+        for i in range(n):
+            input_im = np.asarray(
+                resize_nearest(jnp.asarray(test_images[i : i + 1]), size)
+            )[0]
+            gt_mask = np.asarray(
+                resize_nearest(
+                    jnp.asarray(
+                        self.test_labels[i : i + 1, :, :, None].astype(np.float32)
+                    ),
+                    size,
+                )
+            )[0, :, :, 0].astype(np.int64)
+            pred_mask = np.asarray(
+                resize_nearest(
+                    jnp.asarray(pred_labels[i : i + 1, :, :, None].astype(np.float32)),
+                    size,
+                )
+            )[0, :, :, 0].astype(np.int64)
+
+            disp_im = np.clip(input_im, -1, 1)
+            create_pil_collage(
+                [
+                    np.uint8(
+                        (disp_im - disp_im.min())
+                        / (disp_im.max() - disp_im.min() + 1e-12) * 255
+                    ),
+                    np.uint8(visualize_label_mask(gt_mask, self.color_map) * 255),
+                    np.uint8(visualize_label_mask(pred_mask, self.color_map) * 255),
+                ],
+                os.path.join(self.test_img_dir, f"sample_{i}_pred.png"),
+            )
+
+            ims[0].append(input_im)
+            ims[1].append(gt_mask)
+            ims[2].append(pred_mask)
+
+            if self.test_str in ["iou", "all"]:
+                mask_iou = {
+                    c: get_mask_iou(gt_mask, pred_mask, k)
+                    for k, c in enumerate(classes)
+                }
+                bb_iou = {
+                    c: get_bb_iou(gt_mask, pred_mask, k)
+                    for k, c in enumerate(classes)
+                }
+                w_iou = get_weighted_iou(gt_mask, mask_iou, classes)
+                results.setdefault("mask_iou", []).append(mask_iou)
+                results.setdefault("bb_iou", []).append(bb_iou)
+                results.setdefault("w_iou", []).append(w_iou)
+                results["bin_iou"] = get_bin_iou(gt_mask, pred_mask)
+
+            if self.test_str in ["dice", "all"]:
+                results.setdefault("mask_dice", []).append(
+                    {c: get_mask_dice(gt_mask, pred_mask, k)
+                     for k, c in enumerate(classes)}
+                )
+                results.setdefault("bb_dice", []).append(
+                    {c: get_bb_dice(gt_mask, pred_mask, k)
+                     for k, c in enumerate(classes)}
+                )
+
+        if self.test_str in ["iou", "all"]:
+            import pandas as pd
+
+            mask_iou_pd = pd.DataFrame(
+                data=np.array(
+                    [[s[k] for k in classes] for s in results["mask_iou"]]
+                ),
+                columns=classes,
+            )
+            bb_iou_pd = pd.DataFrame(
+                data=np.array([[s[k] for k in classes] for s in results["bb_iou"]]),
+                columns=classes,
+            )
+            mask_iou_pd.to_csv(os.path.join(self.test_dir, "mask_iou_results.csv"))
+            bb_iou_pd.to_csv(os.path.join(self.test_dir, "bb_iou_results.csv"))
+
+            self.logger.info(
+                "\nMask IoU Results:\n" + str(mask_iou_pd.mean(axis=0))
+            )
+            self.mean_mask_iou = float(mask_iou_pd.mean(axis=0).mean())
+            self.logger.info(f"\nMean Mask IoU:\n{self.mean_mask_iou}")
+            self.logger.info(
+                f"\nWeighted IoU Results:\n{np.mean(results['w_iou'])}"
+            )
+            self.logger.info(f"FG IoU: {results['bin_iou']}")
+
+            pd_scores = get_pd_at_iou_threshold(mask_iou_pd, classes, 0.5)
+            results["pd"] = pd_scores
+            curve = get_iou_vs_pd_curve(mask_iou_pd, classes)
+            results["iou_pd_curve"] = curve
+            plot_iou_vs_pd_curve(
+                curve, classes + ["Mean"],
+                os.path.join(self.test_dir, "iou_vs_pd_curve.png"),
+                self.model_str,
+            )
+
+        self.mean_inference_time = float(np.mean(inference_times))
+        self.logger.info(f"Mean Inference Time: {self.mean_inference_time}")
+
+        np.savez_compressed(
+            os.path.join(self.test_dir, "results.npz"),
+            **{k: np.asarray(v, dtype=object) for k, v in results.items()},
+        )
+        return results
+
+
+class _TensorBoardShim:
+    """Scalar/image logging without a hard tensorboard dependency.
+
+    Uses torch's SummaryWriter when available (parity with the reference's
+    TB artifacts), else records to an in-memory dict.
+    """
+
+    def __init__(self, log_dir):
+        self.log_dir = log_dir
+        self.records = {}
+        self._writer = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            os.makedirs(log_dir, exist_ok=True)
+            self._writer = SummaryWriter(log_dir=log_dir)
+        except Exception:
+            pass
+
+    def add_scalar(self, tag, value, step=None):
+        self.records.setdefault(tag, []).append((step, float(value)))
+        if self._writer:
+            self._writer.add_scalar(tag, value, step)
+
+    def add_image(self, tag, img, step=None):
+        if self._writer:
+            self._writer.add_image(tag, img, step)

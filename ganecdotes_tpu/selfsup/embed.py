@@ -1,0 +1,143 @@
+"""Per-pixel feature embedding — the fused "pixel-embedding kernel".
+
+The reference builds a (1, 4864, 256, 256) tensor by nearest-upsampling all 13
+feature maps to full resolution and concatenating channels
+(swav_clustering.py:108-130, ``create_pixel_feature_vectors``), then pushes
+pixels through a linear projection. That tensor is ~1.3 GB in fp32 and the
+concat/projection round-trips HBM.
+
+TPU-first redesign — the upsample+concat+project pipeline is algebraically
+restructured so the big tensor never exists:
+
+* The projection's first linear layer splits by pyramid level:
+  ``z(p) = Σ_l W_l · f_l(src_l(p))``. Both nearest and bilinear interpolation
+  are linear maps that commute with the channel-wise matmul, so each term is
+  computed at its **native** resolution (tiny MXU matmuls) and only the
+  nclasses-wide result is upsampled and summed (``project_feature_maps``).
+* For training's random-pixel subsets, pixels are gathered per level straight
+  from the native maps (``pixel_feature_gather`` / ``project_gathered``) —
+  nearest upsampling of pixel p is just an index map, so no upsampling
+  happens at all.
+
+``pixel_feature_maps`` keeps the explicit concat form for parity tests and
+for the RepurposeGAN/DatasetGAN baselines that genuinely need raw concat
+features (baseline/*/segmentor.py concat_features).
+"""
+
+import jax.numpy as jnp
+
+from ganecdotes_tpu.ops.interp import (
+    _nearest_indices,
+    resize_bilinear,
+    resize_nearest,
+)
+
+
+def layer_channel_dims(features):
+    return [int(f.shape[-1]) for f in features]
+
+
+def pixel_feature_maps(features, hlen=None, interp="nearest", n_layers=None):
+    """Explicit upsample+concat (B, H, W, Σc)[..., :hlen] — parity/baseline path.
+
+    Matches create_pixel_feature_vectors / concat_features semantics
+    (channel-first slice in the reference == trailing-axis slice here).
+    """
+    if n_layers is not None:
+        features = features[:n_layers]
+    h = max(f.shape[1] for f in features)
+    w = max(f.shape[2] for f in features)
+    resize = resize_nearest if interp == "nearest" else resize_bilinear
+    out = jnp.concatenate([resize(f, (h, w)) for f in features], axis=-1)
+    if hlen is not None:
+        out = out[..., :hlen]
+    return out
+
+
+def _split_weight_by_layer(weight, channel_dims, hlen=None):
+    """Split the (hlen, out) first-layer weight into per-level chunks.
+
+    ``hlen`` may truncate the concat mid-level (reference slices channels
+    [:hlen]); levels past the cut get zero usable channels.
+    """
+    total = weight.shape[0] if hlen is None else hlen
+    chunks = []
+    off = 0
+    for c in channel_dims:
+        use = max(0, min(c, total - off))
+        chunks.append((off, use))
+        off += c
+    return chunks
+
+
+def project_feature_maps(features, weight, hlen=None, interp="nearest"):
+    """First-linear projection of the virtual concat tensor, level-decomposed.
+
+    features: list of (B, h, w, c) NHWC maps; weight: (Σc or hlen, out).
+    Returns (B, H, W, out) == pixel_feature_maps(...) @ weight, exactly.
+    """
+    h = max(f.shape[1] for f in features)
+    w = max(f.shape[2] for f in features)
+    dims = layer_channel_dims(features)
+    chunks = _split_weight_by_layer(weight, dims, hlen)
+    resize = resize_nearest if interp == "nearest" else resize_bilinear
+
+    out = None
+    for f, (off, use) in zip(features, chunks):
+        if use == 0:
+            continue
+        w_l = weight[off : off + use].astype(f.dtype)
+        z = f[..., :use] @ w_l  # native-resolution matmul
+        z = resize(z, (h, w))
+        out = z if out is None else out + z
+    return out
+
+
+def pixel_feature_gather(features, picks, out_hw, hlen=None):
+    """Gather full concat feature vectors for a pixel subset, per level.
+
+    picks: (N,) flat indices into the (H, W) full-resolution grid (row-major,
+    matching torch ``flatten(1)`` of CHW). Returns (B, N, Σc[:hlen]).
+    Nearest-interp only (the training configs all use hf_interp='nearest').
+    """
+    h, w = out_hw
+    ys = picks // w
+    xs = picks % w
+    cols = []
+    total = hlen if hlen is not None else sum(layer_channel_dims(features))
+    off = 0
+    for f in features:
+        c = f.shape[-1]
+        use = max(0, min(c, total - off))
+        off += c
+        if use == 0:
+            continue
+        fh, fw = f.shape[1], f.shape[2]
+        ri = jnp.asarray(_nearest_indices(fh, h))
+        ci = jnp.asarray(_nearest_indices(fw, w))
+        cols.append(f[:, ri[ys], ci[xs], :use])  # (B, N, use)
+    return jnp.concatenate(cols, axis=-1)
+
+
+def project_gathered(features, picks, out_hw, weight, hlen=None):
+    """Σ_l gather_l(picks) @ W_l — projection of a pixel subset, level-split.
+
+    Equals pixel_feature_gather(...) @ weight without materializing the
+    (N, hlen) matrix per level boundary. Returns (B, N, out).
+    """
+    h, w = out_hw
+    ys = picks // w
+    xs = picks % w
+    dims = layer_channel_dims(features)
+    chunks = _split_weight_by_layer(weight, dims, hlen)
+    out = None
+    for f, (off, use) in zip(features, chunks):
+        if use == 0:
+            continue
+        fh, fw = f.shape[1], f.shape[2]
+        ri = jnp.asarray(_nearest_indices(fh, h))
+        ci = jnp.asarray(_nearest_indices(fw, w))
+        g = f[:, ri[ys], ci[xs], :use]  # (B, N, use)
+        z = g @ weight[off : off + use].astype(g.dtype)
+        out = z if out is None else out + z
+    return out

@@ -1,0 +1,502 @@
+"""Hidden-feature k-means clustering (flat / hierarchical) + belief encoding.
+
+TPU-native re-design of baseline/hfc_kmeans/hfc_kmeans_clustering.py:11-545
+and baseline/hfc_kmeans/segmentor.py:11-230: the reference round-trips every
+layer's features through sklearn on the host; here Lloyd's iterations are
+jitted matmul/argmin programs (kmeans++ init, best-of-n_init restarts by
+inertia), so fit and predict stay on device. Belief-matrix hierarchical label
+encoding replaces skimage.regionprops with direct per-label-value histograms
+(regionprops on a cluster map degenerates to exactly that; label 0 ignored).
+
+Checkpoint layout mirrors the reference: per-layer clusterer files +
+model_stats.npz + beliefs.npz in out_dir.
+"""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ganecdotes_tpu.ops.interp import resize_nearest
+from ganecdotes_tpu.selfsup.augmentor import (
+    block_row_std,
+    group_features_by_block,
+    perturb_latents,
+)
+
+
+# ---------------------------------------------------------------------------
+# jitted Lloyd's algorithm
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_iter"))
+def _kmeans_single(x, key, k, max_iter=300):
+    """One kmeans run: ++ init, fixed-iteration Lloyd. x: (N, D)."""
+    n, d = x.shape
+
+    # kmeans++ seeding
+    def pp_body(i, carry):
+        centers, key = carry
+        key, kc = jax.random.split(key)
+        d2 = jnp.min(
+            jnp.sum((x[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
+            + jnp.where(jnp.arange(k)[None, :] < i, 0.0, jnp.inf),
+            axis=1,
+        )
+        probs = d2 / jnp.maximum(d2.sum(), 1e-12)
+        idx = jax.random.choice(kc, n, p=probs)
+        return centers.at[i].set(x[idx]), key
+
+    key, k0 = jax.random.split(key)
+    first = x[jax.random.randint(k0, (), 0, n)]
+    centers = jnp.zeros((k, d), x.dtype).at[0].set(first)
+    centers, key = jax.lax.fori_loop(1, k, pp_body, (centers, key))
+
+    x_sq = jnp.sum(x * x, axis=1, keepdims=True)
+
+    def dist2(centers):
+        # ||x||² - 2 x·c + ||c||², (N, K), MXU matmul dominates
+        return (
+            x_sq
+            - 2.0 * (x @ centers.T)
+            + jnp.sum(centers * centers, axis=1)[None, :]
+        )
+
+    def lloyd(_, centers):
+        a = jnp.argmin(dist2(centers), axis=1)
+        onehot = jax.nn.one_hot(a, k, dtype=x.dtype)  # (N, K)
+        counts = onehot.sum(axis=0)
+        sums = onehot.T @ x
+        new = sums / jnp.maximum(counts[:, None], 1.0)
+        # keep empty clusters where they were
+        return jnp.where(counts[:, None] > 0, new, centers)
+
+    centers = jax.lax.fori_loop(0, max_iter, lloyd, centers)
+    a = jnp.argmin(dist2(centers), axis=1)
+    inertia = jnp.sum(jnp.min(dist2(centers), axis=1))
+    return centers, a, inertia
+
+
+def kmeans_fit(x, k, key, n_init=10, max_iter=300, init_centers=None):
+    """Best-of-n_init k-means (sklearn-default semantics). Returns centers."""
+    x = jnp.asarray(x)
+    if init_centers is not None:
+        centers = jnp.asarray(init_centers)[:k]
+        # refine provided centers with Lloyd only
+
+        @functools.partial(jax.jit, static_argnames=())
+        def refine(x, centers):
+            x_sq = jnp.sum(x * x, axis=1, keepdims=True)
+
+            def dist2(c):
+                return x_sq - 2.0 * (x @ c.T) + jnp.sum(c * c, axis=1)[None, :]
+
+            def lloyd(_, c):
+                a = jnp.argmin(dist2(c), axis=1)
+                onehot = jax.nn.one_hot(a, c.shape[0], dtype=x.dtype)
+                counts = onehot.sum(axis=0)
+                return jnp.where(
+                    counts[:, None] > 0,
+                    (onehot.T @ x) / jnp.maximum(counts[:, None], 1.0),
+                    c,
+                )
+
+            c = jax.lax.fori_loop(0, 300, lloyd, centers)
+            a = jnp.argmin(dist2(c), axis=1)
+            return c, jnp.sum(jnp.min(dist2(c), axis=1))
+
+        centers, _ = refine(x, centers)
+        return centers
+
+    best_centers, best_inertia = None, np.inf
+    for i in range(n_init):
+        centers, _, inertia = _kmeans_single(
+            x, jax.random.fold_in(key, i), k, max_iter
+        )
+        if float(inertia) < best_inertia:
+            best_inertia = float(inertia)
+            best_centers = centers
+    return best_centers
+
+
+@functools.partial(jax.jit, static_argnames=())
+def kmeans_predict(x, centers):
+    d2 = (
+        jnp.sum(x * x, axis=1, keepdims=True)
+        - 2.0 * (x @ centers.T)
+        + jnp.sum(centers * centers, axis=1)[None, :]
+    )
+    return jnp.argmin(d2, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# HFC models (flat / hierarchical) — reference class API
+# ---------------------------------------------------------------------------
+
+
+class BaseHFCModel:
+    """Per-layer clusterer collection with the reference's checkpoint layout
+    (hfc_kmeans_clustering.py:11-124)."""
+
+    def __init__(self, out_dir, n_layers=6, clusters_per_layer=(), out_size=128,
+                 presaved=False, logger=None, seed=42):
+        self.out_dir = out_dir
+        os.makedirs(self.out_dir, exist_ok=True)
+        self.n_layer = n_layers
+        self.clusters_per_layer = list(clusters_per_layer)
+        self.out_size = out_size
+        self.presaved = presaved
+        self.logger = logger
+        self.key = jax.random.PRNGKey(seed)
+
+        self.model_fpaths = [
+            os.path.join(self.out_dir, f"clusterer_layer_{n}.npz")
+            for n in range(self.n_layer)
+        ]
+        self.stats_file = os.path.join(self.out_dir, "model_stats.npz")
+
+        self.means = [None] * len(self.clusters_per_layer)
+        self.stds = [None] * len(self.clusters_per_layer)
+        self.centers = [None] * self.n_layer
+
+        if self.presaved:
+            if all(os.path.exists(fp) for fp in self.model_fpaths):
+                self.centers = [
+                    jnp.asarray(np.load(fp)["centers"]) for fp in self.model_fpaths
+                ]
+            else:
+                raise FileNotFoundError(
+                    "Models not found - use BaseHFCModel.fit() to create "
+                    "model first!"
+                )
+
+    def _log(self, msg):
+        (self.logger.info if self.logger else print)(msg)
+
+    def _features_to_matrix(self, feat):
+        # NHWC (B, h, w, C) -> (B*h*w, C) pixel-sample matrix
+        return jnp.asarray(feat).reshape(-1, feat.shape[-1])
+
+    def fit(self, hidden_feat):
+        assert len(hidden_feat) == self.n_layer
+        for n in range(self.n_layer):
+            self.centers[n] = self._layerwise_fit(hidden_feat[n], n)
+            np.savez_compressed(
+                self.model_fpaths[n], centers=np.asarray(self.centers[n])
+            )
+            self._log(f"Fitted model for Layer {n}")
+        np.savez_compressed(
+            self.stats_file,
+            means=np.asarray([m if m is not None else 0 for m in self.means]),
+            stds=np.asarray([s if s is not None else 0 for s in self.stds]),
+        )
+
+    def predict(self, hidden_feat):
+        """-> (cluster one-hot maps (B, out, out, Σk), per-layer label maps)."""
+        assert len(hidden_feat) == self.n_layer
+        if any(c is None for c in self.centers):
+            # lazy-load presaved clusterers (friendlier than the reference,
+            # which requires presaved=True at construction)
+            if all(os.path.exists(fp) for fp in self.model_fpaths):
+                self.centers = [
+                    jnp.asarray(np.load(fp)["centers"]) for fp in self.model_fpaths
+                ]
+            else:
+                raise FileNotFoundError(
+                    "Models not found - use BaseHFCModel.fit() to create "
+                    "model first!"
+                )
+        cluster_maps, cluster_labels = [], []
+        for n in range(self.n_layer):
+            labels, maps = self._layerwise_predict(hidden_feat[n], n)
+            cluster_maps.append(maps)
+            cluster_labels.append(labels)
+        return jnp.concatenate(cluster_maps, axis=-1), cluster_labels
+
+    def _layerwise_fit(self, feat, n):
+        x = self._features_to_matrix(feat)
+        self.means[n] = np.asarray(x.mean(axis=0))
+        self.stds[n] = np.asarray(x.std(axis=0))
+        self.key, kf = jax.random.split(self.key)
+        return kmeans_fit(x, self.clusters_per_layer[n], kf)
+
+    def _layerwise_predict(self, feat, n):
+        b, h, w, c = feat.shape
+        labels = kmeans_predict(self._features_to_matrix(feat), self.centers[n])
+        labels = labels.reshape(b, h, w)
+        k = self.clusters_per_layer[n]
+        onehot = jax.nn.one_hot(labels, k)  # (B, h, w, k)
+        onehot = resize_nearest(onehot, (self.out_size, self.out_size))
+        return labels[:, None, :, :], onehot  # labels kept (B,1,h,w)-shaped
+
+
+class FlatKMeansHFC(BaseHFCModel):
+    def __init__(self, kmeans_args, base_args):
+        self.kmeans_args = dict(kmeans_args)
+        super().__init__(**base_args)
+
+
+class HierarchicalKMeansHFC(BaseHFCModel):
+    """Cluster-center propagation between resolutions (ref :212-390)."""
+
+    def __init__(self, kmeans_args, base_args):
+        self.kmeans_args = dict(kmeans_args)
+        super().__init__(**base_args)
+        self._cluster_centers = None
+
+    def hierarchical_fit(self, hidden_feat):
+        assert len(hidden_feat) == self.n_layer
+        self._cluster_centers = None
+        for n in range(self.n_layer):
+            x = self._features_to_matrix(hidden_feat[n])
+            self.key, kf = jax.random.split(self.key)
+            self.centers[n] = kmeans_fit(
+                x,
+                self.clusters_per_layer[n],
+                kf,
+                init_centers=self._cluster_centers,
+            )
+            if n != self.n_layer - 1:
+                labels = kmeans_predict(x, self.centers[n])
+                self._cluster_centers = self.calculate_cluster_centers(
+                    hidden_feat[n], hidden_feat[n + 1], labels, n + 1
+                )
+            np.savez_compressed(
+                self.model_fpaths[n], centers=np.asarray(self.centers[n])
+            )
+            self._log(f"Fitted model for Layer {n}")
+
+    def calculate_cluster_centers(self, feat_old, feat_new, labels, n):
+        b, h, w, c = feat_old.shape
+        labels = labels.reshape(b, h, w)[..., None]
+        bn, hn, wn, cn = feat_new.shape
+        labels = resize_nearest(labels.astype(jnp.float32), (hn, wn)).astype(
+            jnp.int32
+        )[..., 0]
+        ffeat = feat_new.reshape(-1, cn)
+        flab = labels.reshape(-1)
+        k_prev = self.clusters_per_layer[n - 1]
+        onehot = jax.nn.one_hot(flab, k_prev)
+        counts = onehot.sum(axis=0)
+        # ref takes the scalar mean of each label's feature block (:383)
+        sums = onehot.T @ ffeat
+        centers = jnp.where(
+            counts[:, None] > 0,
+            (sums.sum(axis=1) / jnp.maximum(counts * cn, 1.0))[:, None]
+            * jnp.ones((1, cn)),
+            0.0,
+        )
+        return np.repeat(np.asarray(centers), 2, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# bayesian hierarchical label encoding
+# ---------------------------------------------------------------------------
+
+
+def _region_beliefs(curr_map, prev_map, shape):
+    """Belief matrix from per-label-value co-occurrence (ref :394-446).
+
+    regionprops-equivalent: regions are the nonzero label values of curr_map
+    (label 0 ignored, as skimage does)."""
+    belief = np.zeros(shape)
+    curr = np.asarray(curr_map).astype(np.int64)
+    prev = np.asarray(prev_map).astype(np.int64)
+    for lbl in np.unique(curr):
+        if lbl == 0:
+            continue
+        sel = curr == lbl
+        area = sel.sum()
+        vals, freq = np.unique(prev[sel], return_counts=True)
+        for v, f in zip(vals, freq):
+            belief[v, lbl] = f / area
+    return belief
+
+
+def hierarchical_label_encoding(im_labels, one_hot_label, clusters_per_layer,
+                                beliefs=None):
+    """Propagate label scores down the pyramid via belief matmuls (ref :394-478).
+
+    im_labels: per-layer label maps (B,1,h,w)-shaped jnp arrays;
+    one_hot_label: (B, H, W, K_last) NHWC scores of the finest layer.
+    """
+    num_layers = len(im_labels)
+
+    if beliefs is None:
+        beliefs = []
+        for k in range(num_layers - 2, -1, -1):
+            prev = np.asarray(im_labels[k + 1]).squeeze()
+            h, w = prev.shape[-2:]
+            curr = resize_nearest(
+                jnp.asarray(im_labels[k]).astype(jnp.float32).transpose(0, 2, 3, 1),
+                (h, w),
+            )[..., 0]
+            belief = _region_beliefs(
+                np.asarray(curr).squeeze().astype(np.uint8),
+                prev.astype(np.uint8),
+                (clusters_per_layer[k + 1], clusters_per_layer[k]),
+            )
+            beliefs.append(jnp.asarray(belief, dtype=jnp.float32))
+
+    ob, oh, ow, oc = one_hot_label.shape
+    pred_vect = one_hot_label.reshape(-1, oc)  # (B*H*W, K)
+
+    out_labels = [im_labels[-1]]
+    out_preds = [one_hot_label]
+
+    for k in range(num_layers - 1):
+        pred_vect = pred_vect @ beliefs[k]  # (N, K_next)
+        oc = pred_vect.shape[-1]
+        out_pred_im = pred_vect.reshape(ob, oh, ow, oc)
+        out_label_im = jnp.argmax(out_pred_im, axis=-1)
+        pred_vect = jax.nn.one_hot(out_label_im.reshape(-1), oc)
+        out_labels.append(out_label_im)
+        out_preds.append(out_pred_im)
+
+    return out_labels, out_preds, beliefs
+
+
+# ---------------------------------------------------------------------------
+# preprocessor (reference-API-compatible)
+# ---------------------------------------------------------------------------
+
+
+class HFCPreprocessor:
+    """K-means preprocessing front-end (baseline/hfc_kmeans/segmentor.py:11-231)."""
+
+    def __init__(self, model, model_config, perturb_args, hfc_args,
+                 hfc_algo="hfc_kmeans", hier_encode=True, hle_samples=500,
+                 train=True, out_dir=None, logger=None, seed=42):
+        self.model = model
+        self.model_config = model_config
+        self.perturb_config = perturb_args
+        self.hfc_args = hfc_args
+        self.hier_encode = hier_encode
+        self.hfc_algo = hfc_algo
+        self.out_dir = out_dir
+        self.train = train
+        self.logger = logger
+        self.hle_samples = hle_samples
+        self.key = jax.random.PRNGKey(seed)
+
+        assert self.hfc_algo in ["hfc_kmeans", "hfc_kmeans_hier"]
+        hfc_args = dict(hfc_args)
+        hfc_args["base_args"] = dict(hfc_args["base_args"])
+        hfc_args["base_args"]["out_dir"] = self.out_dir
+        hfc_args["base_args"]["logger"] = self.logger
+
+        cls = FlatKMeansHFC if self.hfc_algo == "hfc_kmeans" else HierarchicalKMeansHFC
+        self.hfc_model = cls(**hfc_args)
+
+        self.belief_file = os.path.join(self.out_dir, "beliefs.npz")
+        self.trained_beliefs = None
+
+        self.key, km = jax.random.split(self.key)
+        self.mean_latent = model.mean_latent(
+            getattr(model_config, "num_latents_for_mean", 4096), key=km
+        )
+
+    def _w_plus(self, input_latent):
+        lat = jnp.asarray(input_latent)
+        if lat.ndim == 1:
+            lat = lat[None]
+        trunc = self.perturb_config["truncation"]
+        w = self.mean_latent + trunc * (lat - self.mean_latent)
+        return jnp.repeat(w[:, None, :], self.model.meta["n_latent"], axis=1)
+
+    def _grouped_features(self, w_plus):
+        _, feats = self.model(
+            [w_plus], input_is_latent=True,
+            truncation=self.perturb_config["truncation"],
+            truncation_latent=self.mean_latent, randomize_noise=False,
+        )
+        return group_features_by_block(feats, skip_const=True)
+
+    def train_hfc_model(self, input_latent, return_aug=False):
+        """Fit per-layer clusterers on layer-perturbed augmentations
+        (ref segmentor.py:68-167)."""
+        n_layers = self.perturb_config["n_layers"]
+        n_samples = self.perturb_config["n_samples"]
+        stds = self.perturb_config["perturb_std"]
+        w_plus = self._w_plus(input_latent)
+
+        hidden_features = []
+        for k in range(n_layers):
+            self.key, kp = jax.random.split(self.key)
+            row_std = block_row_std(
+                jnp.asarray(k), n_layers, stds, self.model.meta["n_latent"]
+            )
+            w_rep = jnp.repeat(w_plus, n_samples, axis=0)
+            w_new = perturb_latents(self.model.params, w_rep, kp, row_std)
+            groups = self._grouped_features(w_new)
+            hidden_features.append(groups[k])
+            self._log(f"Generated features for Layer: {k}")
+
+        if self.hfc_algo == "hfc_kmeans_hier":
+            self.hfc_model.hierarchical_fit(hidden_features)
+        else:
+            self.hfc_model.fit(hidden_features)
+
+        if self.hier_encode:
+            self.trained_beliefs = self.multi_sample_hierarchical_encoding(
+                self.hle_samples, n_layers
+            )
+            np.savez_compressed(
+                self.belief_file, *[np.asarray(b) for b in self.trained_beliefs]
+            )
+        if return_aug:
+            return hidden_features
+
+    def _log(self, msg):
+        (self.logger.info if self.logger else print)(msg)
+
+    def predict_hfc_vectors(self, input_latent):
+        """(features (B, out, out, C) in [-1, 1], labels) — ref :169-230."""
+        w_plus = self._w_plus(input_latent)
+        groups = self._grouped_features(w_plus)
+        n_layers = self.perturb_config["n_layers"]
+        out_preds, out_labels = self.hfc_model.predict(groups[:n_layers])
+
+        if not self.train and self.hier_encode and self.trained_beliefs is None:
+            data = np.load(self.belief_file, allow_pickle=False)
+            self.trained_beliefs = [
+                jnp.asarray(data[f]) for f in sorted(data.files)
+            ]
+
+        if self.hier_encode:
+            k_last = self.hfc_model.clusters_per_layer[-1]
+            hier_labels, hier_preds, _ = hierarchical_label_encoding(
+                out_labels,
+                out_preds[..., -k_last:],
+                self.hfc_model.clusters_per_layer,
+                self.trained_beliefs,
+            )
+            hier_preds = jnp.concatenate(hier_preds[::-1], axis=-1)
+            return hier_preds * 2 - 1, hier_labels
+
+        return out_preds * 2 - 1, out_labels
+
+    def multi_sample_hierarchical_encoding(self, n_samples, n_layers):
+        """Belief matrices averaged over unlabeled samples (ref :482-545)."""
+        beliefs = None
+        for _ in range(n_samples):
+            self.key, kz = jax.random.split(self.key)
+            z = jax.random.normal(kz, (1, self.model_config.latent_dim))
+            w = self.model.style(z)
+            groups = self._grouped_features(self._w_plus(w))
+            out_preds, out_labels = self.hfc_model.predict(groups[:n_layers])
+            k_last = self.hfc_model.clusters_per_layer[-1]
+            _, _, new_belief = hierarchical_label_encoding(
+                out_labels,
+                out_preds[..., -k_last:],
+                self.hfc_model.clusters_per_layer,
+                beliefs=None,
+            )
+            if beliefs is None:
+                beliefs = new_belief
+            else:
+                beliefs = [0.5 * (a + b) for a, b in zip(beliefs, new_belief)]
+        return beliefs

@@ -1,0 +1,249 @@
+"""SimCLR hidden-feature clustering baseline.
+
+Re-design of baseline/hfc_with_simclr/simclr_clustering.py:14-404: NT-Xent
+contrastive loss over pixel pairs from two latent-perturbed views. The
+reference builds its 40×40 similarity and loss matrices with O(B²) python
+loops (:236-258); here the whole loss is one vectorized log-softmax.
+
+Deliberate divergence (bug not replicated): the reference sums positive-pair
+losses at interleaved indices (2k-1, 2k) (:261-263), which pairs view-t of
+pixel k-1 with view-s of pixel k (and wraps to (39, 0) at k=0) — mismatched
+positives. The intended NT-Xent positives (2k, 2k+1) are used here.
+"""
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ganecdotes_tpu.models.stylegan2.generator import mapping_apply
+from ganecdotes_tpu.selfsup.augmentor import (
+    perturbed_features,
+    random_rotate_flip_params,
+    rotate_flip_features,
+)
+from ganecdotes_tpu.selfsup.embed import (
+    pixel_feature_gather,
+    project_feature_maps,
+)
+from ganecdotes_tpu.selfsup.swav import feature_norm_map
+from ganecdotes_tpu.utils.serialization import load_pytree, save_pytree
+
+
+def init_simclr_params(key, hlen, nclasses):
+    """Linear(hlen→ncls, no bias) → BN → LeakyReLU → Linear(ncls→ncls, no bias)
+    (simclr_clustering.py:147-158)."""
+    k1, k2 = jax.random.split(key)
+    b1 = 1.0 / math.sqrt(hlen)
+    b2 = 1.0 / math.sqrt(nclasses)
+    return {
+        "lin1": {"weight": jax.random.uniform(k1, (hlen, nclasses), minval=-b1, maxval=b1)},
+        "bn": {"gamma": jnp.ones((nclasses,)), "beta": jnp.zeros((nclasses,)),
+               "mean": jnp.zeros((nclasses,)), "var": jnp.ones((nclasses,))},
+        "lin2": {"weight": jax.random.uniform(k2, (nclasses, nclasses), minval=-b2, maxval=b2)},
+    }
+
+
+def simclr_projection(params, z, train=True, eps=1e-5):
+    """Post-first-linear tail. z: (N, nclasses) (first matmul already applied).
+
+    The reference never puts the projection in eval mode, so BN uses batch
+    stats in both train and predict; same here.
+    """
+    del train
+    mu, var = z.mean(axis=0), z.var(axis=0)
+    h = (z - mu) * jax.lax.rsqrt(var + eps) * params["bn"]["gamma"] + params["bn"]["beta"]
+    h = jnp.where(h >= 0, h, 0.01 * h)  # nn.LeakyReLU default slope
+    return h @ params["lin2"]["weight"]
+
+
+def nt_xent_loss(scores_s, scores_t, temperature):
+    """Vectorized NT-Xent over interleaved (s, t) pixel pairs.
+
+    scores_*: (B, D). Builds the 2B×2B cosine-similarity matrix; positives
+    are (2k, 2k+1)/(2k+1, 2k); the denominator excludes self-similarity.
+    """
+    b = scores_s.shape[0]
+    z = jnp.stack([scores_s, scores_t], axis=1).reshape(2 * b, -1)  # interleave
+    z = z / jnp.maximum(jnp.linalg.norm(z, axis=1, keepdims=True), 1e-12)
+    sim = (z @ z.T) / temperature  # (2B, 2B)
+    mask = jnp.eye(2 * b, dtype=bool)
+    neg_inf = jnp.finfo(sim.dtype).min
+    logits = jnp.where(mask, neg_inf, sim)
+    log_den = jax.nn.logsumexp(logits, axis=1)  # excludes self
+    idx = jnp.arange(2 * b)
+    pos_idx = jnp.where(idx % 2 == 0, idx + 1, idx - 1)
+    pos = sim[idx, pos_idx]
+    loss = -(pos - log_den)
+    return loss.sum() / (2 * b)
+
+
+def make_simclr_train_step(gen_meta, model_config, perturb_args, simclr_args,
+                           mean_latent_w, image_hw):
+    h, w = image_hw
+    npix = h * w
+    batch = simclr_args["batch_size"]
+    n_layers = perturb_args["n_layers"]
+    perturb_std = tuple(perturb_args["perturb_std"])
+    truncation = model_config["truncation"]
+    latent_dim = model_config["latent_dim"]
+    hlen = simclr_args["hlen"]
+    temperature = simclr_args["temperature"]
+    fixed_layer = perturb_args.get("layer_no")
+
+    optimizer = optax.lars(
+        learning_rate=simclr_args["train_args"]["lr"],
+        momentum=simclr_args["train_args"].get("momentum", 0.9),
+        trust_coefficient=simclr_args["trust_coeff"],
+    )
+
+    def view(gen_params, key, w_plus, layer_no, k_aug):
+        _, feats = perturbed_features(
+            gen_params, gen_meta, w_plus, key, layer_no, n_layers,
+            perturb_std, truncation, mean_latent_w,
+        )
+        ang, flip = random_rotate_flip_params(k_aug)
+        return rotate_flip_features(feats, ang, flip)
+
+    def scores_of(params, feats, picks):
+        # per-pixel F.normalize precedes the projection (ref :191, :203)
+        x = pixel_feature_gather(feats, picks, (h, w), hlen=hlen)[0]  # (B, hlen)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        z = x @ params["lin1"]["weight"]
+        return simclr_projection(params, z)
+
+    def loss_fn(params, feats_s, feats_t, picks):
+        s = scores_of(params, feats_s, picks)
+        t = scores_of(params, feats_t, picks)
+        return nt_xent_loss(s, t, temperature)
+
+    def step(gen_params, params, opt_state, key):
+        k_lat, k_layer, k_vs, k_vt, k_as, k_at, k_pick = jax.random.split(key, 7)
+        z = jax.random.normal(k_lat, (1, latent_dim))
+        w_lat = mapping_apply(gen_params, z)
+        w_tr = mean_latent_w + truncation * (w_lat - mean_latent_w)
+        w_plus = jnp.repeat(w_tr[:, None, :], gen_meta["n_latent"], axis=1)
+
+        if fixed_layer is None:
+            layer_no = jax.random.randint(k_layer, (), 0, n_layers)
+        else:
+            layer_no = jnp.asarray(fixed_layer)
+
+        feats_s = view(gen_params, k_vs, w_plus, layer_no, k_as)
+        feats_t = view(gen_params, k_vt, w_plus, layer_no, k_at)
+        picks = jax.random.permutation(k_pick, npix)[:batch]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params, feats_s, feats_t, picks)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return optimizer, jax.jit(step)
+
+
+class SimCLRClustering:
+    """Reference-API preprocessor (simclr_clustering.py:14-129)."""
+
+    def __init__(self, model, model_config, perturb_args, simclr_args,
+                 logger=None, train=True, out_dir=None, device=None, tb=None,
+                 layer_hf_dim=None, seed=42):
+        del device
+        self.model = model
+        self.model_config = model_config
+        self.perturb_args = perturb_args
+        self.simclr_args = simclr_args
+        self.logger = logger
+        self.train = train
+        self.out_dir = out_dir
+        self.writer = tb
+        self.layer_hf_dim = layer_hf_dim
+        self.key = jax.random.PRNGKey(seed)
+        self.nclasses = simclr_args["nclasses"]
+
+        if out_dir is not None:
+            os.makedirs(os.path.join(out_dir, "simclr"), exist_ok=True)
+            self.params_file = os.path.join(out_dir, "simclr_params.npz")
+        else:
+            self.params_file = None
+
+        self.key, km = jax.random.split(self.key)
+        self.mean_latent = model.mean_latent(
+            getattr(model_config, "num_latents_for_mean", 4096), key=km
+        )
+        self.truncation = model_config.truncation
+
+        self.params = None
+        if not self.train and self.params_file and os.path.exists(self.params_file):
+            self.params = load_pytree(self.params_file)
+        elif not self.train and self.logger:
+            self.logger.info("Projection File not found - pretraining ...")
+
+        self._image_hw = (model_config.image_size, model_config.image_size)
+
+    def preprocess(self, input_latent):
+        if self.train or self.params is None:
+            self.pretrain(input_latent)
+
+    def pretrain(self, input_latent=None):
+        del input_latent
+        sa = self.simclr_args
+        self.key, k_init = jax.random.split(self.key)
+        self.params = init_simclr_params(k_init, sa["hlen"], sa["nclasses"])
+
+        optimizer, step = make_simclr_train_step(
+            self.model.meta,
+            {"truncation": self.truncation,
+             "latent_dim": self.model_config.latent_dim},
+            self.perturb_args, sa, self.mean_latent, self._image_hw,
+        )
+        opt_state = optimizer.init(self.params)
+
+        import time as _time
+
+        t0 = _time.time()
+        for e in range(sa["num_iters"]):
+            self.key, ks = jax.random.split(self.key)
+            self.params, opt_state, loss = step(
+                self.model.params, self.params, opt_state, ks
+            )
+            if self.logger and e % sa.get("epoch_print_freq", 5) == 0:
+                self.logger.info(
+                    f" (Iter:{e}):\tLoss: {float(loss):.03f},"
+                    f"\tTime: {_time.time() - t0:.03f}"
+                )
+            if self.writer is not None:
+                self.writer.add_scalar("simclr/loss", float(loss), e)
+        if self.params_file:
+            save_pytree(self.params_file, self.params)
+
+    def predict_simclr_codes(self, input_latent, input_is_latent=True):
+        """(scores (B, H, W, ncls) NHWC, labels) — ref :365-404.
+
+        Per-pixel normalize → projection; level-decomposed: the first matmul
+        commutes with nearest upsample, the per-pixel norm is reconstructed
+        from the level-wise squared-norm maps.
+        """
+        if input_latent.ndim == 1:
+            input_latent = input_latent[None]
+        _, feats = self.model(
+            [jnp.asarray(input_latent)],
+            truncation=self.truncation,
+            truncation_latent=self.mean_latent,
+            input_is_latent=input_is_latent,
+            randomize_noise=False,
+        )
+        hlen = self.simclr_args["hlen"]
+        z = project_feature_maps(
+            feats, self.params["lin1"]["weight"], hlen=hlen,
+            interp=self.simclr_args.get("hf_interp", "nearest"),
+        )
+        norms = feature_norm_map(feats, hlen)[..., None]
+        z = z / jnp.maximum(norms, 1e-12)
+        b, h, w, c = z.shape
+        scores = simclr_projection(self.params, z.reshape(-1, c)).reshape(
+            b, h, w, -1
+        )
+        labels = jnp.argmax(scores, axis=-1)
+        return scores, labels

@@ -1,0 +1,493 @@
+"""SwAV hidden-feature clustering — the primary self-supervised learner.
+
+Re-design of hfc_with_swav/swav_clustering.py:28-693 as jitted pure
+functions: per step, two latent-perturbed views are synthesized, a random
+20k-pixel batch is embedded through the level-decomposed projection
+(ganecdotes_tpu.selfsup.embed — the 1.3 GB concat tensor never exists),
+Sinkhorn-Knopp codes are computed under stop_gradient, and the swapped
+prediction loss updates projection+prototypes with optax LARS (replacing
+apex LARC, swav_clustering.py:286-292).
+
+Numerical note: the reference computes ``Q = exp(scores/ε)`` with ε=0.005
+(swav_clustering.py:519), which overflows fp32 once score magnitudes grow;
+here the global max is subtracted before the exp — mathematically identical
+(the very next line renormalizes Q by its total) and overflow-proof.
+
+Whole-loop jit: the reference's epoch loop re-enters python per sample; here
+one compiled step runs per (epoch, sample) iteration, and everything from the
+mapping MLP to the LARS update is a single XLA program.
+"""
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ganecdotes_tpu.models.stylegan2.generator import mapping_apply
+from ganecdotes_tpu.ops.interp import resize_nearest
+from ganecdotes_tpu.selfsup.augmentor import (
+    perturbed_features,
+    random_rotate_flip_params,
+    rotate_flip_features,
+)
+from ganecdotes_tpu.selfsup.embed import (
+    pixel_feature_maps,
+    project_feature_maps,
+    project_gathered,
+)
+from ganecdotes_tpu.utils.serialization import load_pytree, save_pytree
+
+
+# ---------------------------------------------------------------------------
+# params
+# ---------------------------------------------------------------------------
+
+
+def _torch_linear_init(key, cin, cout, bias=True):
+    bound = 1.0 / math.sqrt(cin)
+    kw, kb = jax.random.split(key)
+    p = {"weight": jax.random.uniform(kw, (cin, cout), minval=-bound, maxval=bound)}
+    if bias:
+        p["bias"] = jax.random.uniform(kb, (cout,), minval=-bound, maxval=bound)
+    return p
+
+
+def init_swav_params(key, hlen, nclasses, nprototypes, projn_nw="linear"):
+    """Projection (linear | 1-layer | 2-layer, swav_clustering.py:244-269)
+    + prototype Linear(nclasses, nprototypes) (:270-271)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    if projn_nw in ("linear", "1-layer"):
+        projection = [_torch_linear_init(k1, hlen, nclasses, bias=False)]
+    elif projn_nw == "2-layer":
+        projection = [
+            _torch_linear_init(k1, hlen, nclasses, bias=False),
+            {"gamma": jnp.ones((nclasses,)), "beta": jnp.zeros((nclasses,)),
+             "mean": jnp.zeros((nclasses,)), "var": jnp.ones((nclasses,))},
+            _torch_linear_init(k3, nclasses, nclasses, bias=False),
+            {"gamma": jnp.ones((nclasses,)), "beta": jnp.zeros((nclasses,)),
+             "mean": jnp.zeros((nclasses,)), "var": jnp.ones((nclasses,))},
+        ]
+    else:
+        raise ValueError(f"unknown projn_nw {projn_nw}")
+    prototype = _torch_linear_init(k2, nclasses, nprototypes, bias=True)
+    return {"projection": projection, "prototype": prototype}
+
+
+def projection_tail(params, z, projn_nw, train=True, eps=1e-5):
+    """Everything after the (level-decomposed) first linear layer.
+
+    z: (..., nclasses) output of the first matmul. nn.LeakyReLU default
+    slope is 0.01 (not the 0.2 used elsewhere). 2-layer BN uses batch stats
+    in train mode (stat updates are irrelevant: the reference never runs the
+    2-layer head in eval mode before re-training).
+    """
+    if projn_nw == "linear":
+        return z
+    if projn_nw == "1-layer":
+        return jnp.where(z >= 0, z, 0.01 * z)
+    # 2-layer
+    bn1, lin2, bn2 = params["projection"][1], params["projection"][2], params["projection"][3]
+    flat = z.reshape(-1, z.shape[-1])
+    if train:
+        mu, var = flat.mean(0), flat.var(0)
+    else:
+        mu, var = bn1["mean"], bn1["var"]
+    h = (flat - mu) * jax.lax.rsqrt(var + eps) * bn1["gamma"] + bn1["beta"]
+    h = jnp.where(h >= 0, h, 0.01 * h)
+    h = h @ lin2["weight"]
+    if train:
+        mu2, var2 = h.mean(0), h.var(0)
+    else:
+        mu2, var2 = bn2["mean"], bn2["var"]
+    h = (h - mu2) * jax.lax.rsqrt(var2 + eps) * bn2["gamma"] + bn2["beta"]
+    h = jnp.tanh(h)
+    return h.reshape(z.shape)
+
+
+def normalize_prototypes(params):
+    """Row-L2 renorm of the prototype matrix before each step (:328-331)."""
+    w = params["prototype"]["weight"]  # (nclasses, nproto); torch rows == our cols
+    norm = jnp.linalg.norm(w, axis=0, keepdims=True)
+    w = w / jnp.maximum(norm, 1e-12)
+    new_proto = dict(params["prototype"], weight=w)
+    return dict(params, prototype=new_proto)
+
+
+# ---------------------------------------------------------------------------
+# sinkhorn + loss
+# ---------------------------------------------------------------------------
+
+
+def sinkhorn_knopp(scores, niters, eps, r, c):
+    """Double normalization (swav_clustering.py:509-544), in log space.
+
+    scores: (B, K); r: (K,) prototype marginal; c: (B,) pixel marginal.
+    Returns codes (B, K). The reference iterates on Q = exp(scores/ε)
+    directly, which overflows/underflows fp32 at the shipped ε=0.005; the
+    log-domain iteration computes the identical fixed point exactly.
+    """
+    from jax.scipy.special import logsumexp
+
+    log_q = (scores / eps).T  # (K, B)
+    log_q = log_q - logsumexp(log_q)
+    log_r = jnp.log(r)
+    log_c = jnp.log(c)
+
+    def body(_, lq):
+        lq = lq + (log_r - logsumexp(lq, axis=1))[:, None]
+        lq = lq + (log_c - logsumexp(lq, axis=0))[None, :]
+        return lq
+
+    log_q = jax.lax.fori_loop(0, niters, body, log_q)
+    return jnp.exp(log_q - logsumexp(log_q, axis=0, keepdims=True)).T
+
+
+def _histogram_pdf(values, nbins):
+    """torch.histc-style pdf with the ref's hist[0]=hist[1] fixup (:523-535)."""
+    hist, _ = jnp.histogram(values, bins=nbins)
+    hist = hist.astype(jnp.float32) + 1e-9
+    hist = hist.at[0].set(hist[1])
+    return hist / hist.sum()
+
+
+def sinkhorn_marginals(scores_shape, source_pdf, img_vals=None):
+    b, k = scores_shape
+    if source_pdf == "image":
+        r = _histogram_pdf(img_vals, k)
+        c = _histogram_pdf(img_vals, b)
+    else:
+        r = jnp.ones((k,)) / k
+        c = jnp.ones((b,)) / b
+    return r, c
+
+
+def swapped_prediction_loss(p_s, p_t, q_s, q_t):
+    """-½(⟨q_s, logsoftmax p_t⟩ + ⟨q_t, logsoftmax p_s⟩) (:547-570)."""
+    lst = jnp.mean(jnp.sum(q_s * jax.nn.log_softmax(p_t, axis=1), axis=1))
+    lts = jnp.mean(jnp.sum(q_t * jax.nn.log_softmax(p_s, axis=1), axis=1))
+    return -0.5 * (lst + lts)
+
+
+def feature_norm_map(features, hlen=None):
+    """Per-pixel L2 norm over the (virtual) concat channels, level-decomposed.
+
+    Used as the 'image' source pdf for Sinkhorn (ref img = ||hfeat||₂ over
+    channels, swav_clustering.py:361-362). Exact for nearest interp.
+    """
+    h = max(f.shape[1] for f in features)
+    w = max(f.shape[2] for f in features)
+    total = hlen if hlen is not None else sum(f.shape[-1] for f in features)
+    acc = None
+    off = 0
+    for f in features:
+        c = f.shape[-1]
+        use = max(0, min(c, total - off))
+        off += c
+        if use == 0:
+            continue
+        sq = jnp.sum(jnp.square(f[..., :use]), axis=-1, keepdims=True)
+        sq = resize_nearest(sq, (h, w))
+        acc = sq if acc is None else acc + sq
+    return jnp.sqrt(acc[..., 0])
+
+
+# ---------------------------------------------------------------------------
+# train step
+# ---------------------------------------------------------------------------
+
+
+def make_lr_schedule(swav_args, num_samples):
+    """Warmup linspace + cosine (swav_clustering.py:303-317)."""
+    if not swav_args.get("use_scheduler", False):
+        return lambda step: swav_args["train_args"]["lr"]
+    warmup_iters = num_samples * swav_args["warmup_epochs"]
+    base, final = swav_args["base_lr"], swav_args["final_lr"]
+    start = swav_args["start_warmup"]
+    span = swav_args["num_epochs"] - swav_args["warmup_epochs"]
+
+    def sched(step):
+        warm = start + (base - start) * jnp.minimum(step, warmup_iters - 1) / max(
+            warmup_iters - 1, 1
+        )
+        t = (step - warmup_iters) / max(span, 1)
+        cos = final + 0.5 * (base - final) * (1 + jnp.cos(jnp.pi * t))
+        return jnp.where(step < warmup_iters, warm, cos)
+
+    return sched
+
+
+def make_swav_train_step(gen_meta, model_config, perturb_args, swav_args,
+                         sinkhorn_args, mean_latent_w, image_hw):
+    """Build the jitted SwAV step. Returns (optimizer, step_fn).
+
+    step_fn(gen_params, ssl_params, opt_state, key, it) -> (params, opt, loss)
+    """
+    h, w = image_hw
+    npix = h * w
+    patch = swav_args["patch_size"] or npix
+    n_layers = perturb_args["n_layers"]
+    perturb_std = tuple(perturb_args["perturb_std"])
+    truncation = model_config["truncation"]
+    latent_dim = model_config["latent_dim"]
+    hlen = swav_args["hlen"]
+    projn_nw = swav_args["projn_nw"]
+    temperature = swav_args["temperature"]
+    num_patches = swav_args["num_patches"]
+    add_local = swav_args.get("add_local_loss", False)
+    niters, eps = sinkhorn_args["niters"], sinkhorn_args["eps"]
+    source_pdf = sinkhorn_args.get("source_pdf", "uniform")
+    fixed_layer = perturb_args.get("layer_no")
+
+    lr_sched = make_lr_schedule(swav_args, swav_args["num_samples"])
+    optimizer = optax.lars(
+        learning_rate=lr_sched,
+        momentum=swav_args["train_args"].get("momentum", 0.9),
+        trust_coefficient=swav_args["trust_coeff"],
+    )
+
+    def scores_fn(ssl_params, feats, picks, train_flag=True):
+        z = project_gathered(
+            feats, picks, (h, w), ssl_params["projection"][0]["weight"], hlen=hlen
+        )[0]  # (N, nclasses); batch is 1 in the SSL loop
+        z = projection_tail(ssl_params, z, projn_nw, train=train_flag)
+        z = z / jnp.maximum(jnp.linalg.norm(z, axis=1, keepdims=True), 1e-12)
+        proto = ssl_params["prototype"]
+        return z @ proto["weight"] + proto["bias"]
+
+    def view_features(gen_params, key, w_plus, layer_no):
+        _, feats = perturbed_features(
+            gen_params, gen_meta, w_plus, key, layer_no,
+            n_layers, perturb_std, truncation, mean_latent_w,
+        )
+        return feats
+
+    def loss_fn(ssl_params, feats_s, feats_t, img_s, img_t, pick_keys, layer_no):
+        def patch_loss(key):
+            picks = jax.random.permutation(key, npix)[:patch]
+            s_s = scores_fn(ssl_params, feats_s, picks)
+            s_t = scores_fn(ssl_params, feats_t, picks)
+            r_s, c_s = sinkhorn_marginals(s_s.shape, source_pdf, img_s)
+            r_t, c_t = sinkhorn_marginals(s_t.shape, source_pdf, img_t)
+            q_s = jax.lax.stop_gradient(sinkhorn_knopp(s_s, niters, eps, r_s, c_s))
+            q_t = jax.lax.stop_gradient(sinkhorn_knopp(s_t, niters, eps, r_t, c_t))
+            loss = swapped_prediction_loss(
+                s_s / temperature, s_t / temperature, q_s, q_t
+            )
+            if add_local:
+                # intended semantics of the (broken) channel-masking local
+                # loss (:420-451): zero the perturbed block's feature group
+                def group_of(level):
+                    return 0 if level == 0 else (level + 1) // 2
+
+                def mask(feats):
+                    return [
+                        jnp.where(group_of(i) == layer_no, 0.0, 1.0) * f
+                        for i, f in enumerate(feats)
+                    ]
+
+                ms = scores_fn(ssl_params, mask(feats_s), picks)
+                mt = scores_fn(ssl_params, mask(feats_t), picks)
+                mq_s = jax.lax.stop_gradient(
+                    sinkhorn_knopp(ms, niters, eps, r_s, c_s)
+                )
+                mq_t = jax.lax.stop_gradient(
+                    sinkhorn_knopp(mt, niters, eps, r_t, c_t)
+                )
+                loss = loss + swapped_prediction_loss(
+                    ms / temperature, mt / temperature, mq_s, mq_t
+                )
+            return loss
+
+        total = 0.0
+        for i in range(num_patches):
+            total = total + patch_loss(pick_keys[i])
+        return total / num_patches
+
+    def step(gen_params, ssl_params, opt_state, key, it):
+        del it
+        (k_lat, k_layer, k_vs, k_vt, k_as, k_at, k_picks) = jax.random.split(key, 7)
+
+        # fresh training sample: w = style(randn) (swav_clustering.py:323-326)
+        z = jax.random.normal(k_lat, (1, latent_dim))
+        w_lat = mapping_apply(gen_params, z)
+        # the reference derives w⁺ via a forward with truncation; the latent it
+        # returns is trunc(w) repeated n_latent times — computed directly here
+        w_tr = mean_latent_w + truncation * (w_lat - mean_latent_w)
+        w_plus = jnp.repeat(w_tr[:, None, :], gen_meta["n_latent"], axis=1)
+
+        ssl_params = normalize_prototypes(ssl_params)
+
+        if fixed_layer is None:
+            layer_no = jax.random.randint(k_layer, (), 0, n_layers)
+        else:
+            layer_no = jnp.asarray(fixed_layer)
+
+        feats_s = view_features(gen_params, k_vs, w_plus, layer_no)
+        feats_t = view_features(gen_params, k_vt, w_plus, layer_no)
+
+        ang_s, flip_s = random_rotate_flip_params(k_as)
+        ang_t, flip_t = random_rotate_flip_params(k_at)
+        feats_s = rotate_flip_features(feats_s, ang_s, flip_s)
+        feats_t = rotate_flip_features(feats_t, ang_t, flip_t)
+
+        if source_pdf == "image":
+            img_s = feature_norm_map(feats_s, hlen)
+            img_t = feature_norm_map(feats_t, hlen)
+        else:
+            img_s = img_t = None
+
+        pick_keys = jax.random.split(k_picks, num_patches)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            ssl_params, feats_s, feats_t, img_s, img_t, pick_keys, layer_no
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, ssl_params)
+        ssl_params = optax.apply_updates(ssl_params, updates)
+        return ssl_params, opt_state, loss
+
+    return optimizer, jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# inference
+# ---------------------------------------------------------------------------
+
+
+def swav_predict_from_features(ssl_params, features, hlen, nclasses,
+                               projn_nw="linear", interp="nearest"):
+    """Raw projection scores at full resolution (predict path :659-693).
+
+    Inference applies ONLY the projection (no normalize, no prototype,
+    get_swav_codes train=False branch :171-177). Returns (B, H, W, nclasses)
+    NHWC scores; labels = argmax(-1).
+    """
+    z = project_feature_maps(
+        features, ssl_params["projection"][0]["weight"], hlen=hlen, interp=interp
+    )
+    z = projection_tail(ssl_params, z, projn_nw, train=False)
+    return z
+
+
+# ---------------------------------------------------------------------------
+# orchestrating class (reference-API-compatible preprocessor)
+# ---------------------------------------------------------------------------
+
+
+class SwAVClustering:
+    """Duck-typed 'preprocessor' with the reference's API surface
+    (hfc_with_swav/swav_clustering.py:28-203): preprocess / pretrain /
+    predict_swav_codes, presaved-checkpoint loading, out_dir layout."""
+
+    def __init__(self, model, model_config, perturb_args, swav_args,
+                 sinkhorn_args, logger=None, train=True, out_dir=None,
+                 device=None, tb=None, layer_hf_dim=None, seed=42):
+        del device
+        self.model = model
+        self.model_config = model_config
+        self.perturb_args = perturb_args
+        self.swav_args = swav_args
+        self.sinkhorn_args = sinkhorn_args
+        self.logger = logger
+        self.train = train
+        self.out_dir = out_dir
+        self.writer = tb
+        self.layer_hf_dim = layer_hf_dim
+        self.key = jax.random.PRNGKey(seed)
+
+        self.nclasses = swav_args["nclasses"]
+        self.nprototypes = swav_args["nprototypes"]
+
+        if out_dir is not None:
+            os.makedirs(os.path.join(out_dir, "swav"), exist_ok=True)
+            self.params_file = os.path.join(out_dir, "swav_params.npz")
+        else:
+            self.params_file = None
+
+        self.key, km = jax.random.split(self.key)
+        self.mean_latent = model.mean_latent(
+            getattr(model_config, "num_latents_for_mean", 4096), key=km
+        )
+        self.truncation = model_config.truncation
+
+        self.ssl_params = None
+        if not self.train and self.params_file and os.path.exists(self.params_file):
+            self.ssl_params = load_pytree(self.params_file)
+        elif not self.train and self.logger:
+            self.logger.info("SwAV params not found - pretraining ...")
+
+        self._image_hw = (model_config.image_size, model_config.image_size)
+
+    def _model_config_dict(self):
+        return {
+            "truncation": self.truncation,
+            "latent_dim": self.model_config.latent_dim,
+        }
+
+    def preprocess(self, input_latent):
+        """Train (or lazily load) the SSL embedding (ref :186-203)."""
+        if self.train or self.ssl_params is None:
+            self.pretrain(input_latent)
+
+    def pretrain(self, input_latent=None):
+        del input_latent  # placeholder in the reference too
+        sa = self.swav_args
+        self.key, k_init = jax.random.split(self.key)
+        self.ssl_params = init_swav_params(
+            k_init, sa["hlen"], sa["nclasses"], sa["nprototypes"], sa["projn_nw"]
+        )
+
+        optimizer, step = make_swav_train_step(
+            self.model.meta,
+            self._model_config_dict(),
+            self.perturb_args,
+            sa,
+            self.sinkhorn_args,
+            self.mean_latent,
+            self._image_hw,
+        )
+        opt_state = optimizer.init(self.ssl_params)
+
+        import time as _time
+
+        t0 = _time.time()
+        num_epochs, num_samples = sa["num_epochs"], sa["num_samples"]
+        it = 0
+        for e in range(num_epochs):
+            for _ in range(num_samples):
+                self.key, k_step = jax.random.split(self.key)
+                self.ssl_params, opt_state, loss = step(
+                    self.model.params, self.ssl_params, opt_state, k_step, it
+                )
+                it += 1
+            if self.logger and e % sa.get("epoch_print_freq", 5) == 0:
+                self.logger.info(
+                    f" E:{e}\t|\tLoss: {float(loss):.03f} \t|"
+                    f"\tT: {_time.time() - t0:.03f}"
+                )
+            if self.writer is not None:
+                self.writer.add_scalar("swav/loss", float(loss), e)
+
+        if self.logger:
+            self.logger.info("Finished pretraining - Saving swav params")
+        if self.params_file:
+            save_pytree(self.params_file, self.ssl_params)
+
+    def predict_swav_codes(self, input_latent, input_is_latent=True):
+        """(out_preds NHWC scores, out_labels) for a latent (ref :659-693)."""
+        if input_latent.ndim == 1:
+            input_latent = input_latent[None]
+        _, feats = self.model(
+            [jnp.asarray(input_latent)],
+            truncation=self.truncation,
+            truncation_latent=self.mean_latent,
+            input_is_latent=input_is_latent,
+            randomize_noise=False,
+        )
+        preds = swav_predict_from_features(
+            self.ssl_params, feats, self.swav_args["hlen"], self.nclasses,
+            self.swav_args["projn_nw"], self.swav_args.get("hf_interp", "nearest"),
+        )
+        labels = jnp.argmax(preds, axis=-1)
+        return preds, labels

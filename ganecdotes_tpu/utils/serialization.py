@@ -1,0 +1,62 @@
+"""Checkpoint IO: flat-key .npz serialization for arbitrary param pytrees.
+
+TPU-native counterpart of the reference's torch.save whole-module pickles
+(swav_clustering.py:503-505, base_model.py:153-223): pytrees are flattened to
+path-keyed arrays, so files are portable, inspectable, and framework-free.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _flatten(tree):
+    flat = {}
+
+    def rec(node, path):
+        if isinstance(node, dict):
+            for k in sorted(node):
+                rec(node[k], f"{path}/{k}" if path else str(k))
+        elif isinstance(node, (list, tuple)):
+            flat[f"__len__{path}"] = np.asarray(
+                [len(node), int(isinstance(node, tuple))]
+            )
+            for i, v in enumerate(node):
+                rec(v, f"{path}#{i}")
+        else:
+            flat[f"leaf:{path}"] = np.asarray(node)
+
+    rec(tree, "")
+    return flat
+
+
+def save_pytree(path, tree):
+    np.savez_compressed(path, **_flatten(tree))
+
+
+def load_pytree(path):
+    data = dict(np.load(path, allow_pickle=False))
+
+    def rec(path_):
+        len_key = f"__len__{path_}"
+        leaf_key = f"leaf:{path_}"
+        if leaf_key in data:
+            return jnp.asarray(data[leaf_key])
+        if len_key in data:
+            n, is_tuple = int(data[len_key][0]), bool(data[len_key][1])
+            items = [rec(f"{path_}#{i}") for i in range(n)]
+            return tuple(items) if is_tuple else items
+        # dict: collect child keys one level down
+        prefix = f"{path_}/" if path_ else ""
+        children = set()
+        for k in data:
+            body = k.split(":", 1)[1] if k.startswith("leaf:") else k[len("__len__"):]
+            if body.startswith(prefix) and len(body) > len(prefix):
+                rest = body[len(prefix):]
+                name = rest.split("/")[0].split("#")[0]
+                children.add(name)
+        if not children:
+            raise KeyError(f"no entries under '{path_}' in {path}")
+        return {c: rec(f"{prefix}{c}") for c in children}
+
+    return rec("")

@@ -1,0 +1,107 @@
+"""Visualization helpers — counterpart of lib/util/visualization.py:17-388
+and the color/mask helpers in lib/gui/labeller.py (sample_label_colors,
+visualize_label_mask). Pure host-side (numpy/PIL/matplotlib)."""
+
+import numpy as np
+
+
+def sample_label_colors(n=1):
+    """n distinct colors via evenly spaced hues; class 0 = white (labeller.py)."""
+    from matplotlib.colors import hsv_to_rgb
+
+    hues = np.linspace(0.0, 1.0, n, endpoint=False)
+    colors = hsv_to_rgb(
+        np.stack([hues, 0.85 * np.ones(n), 0.95 * np.ones(n)], axis=-1)
+    )
+    colors[0] = np.array([1.0, 1.0, 1.0])
+    return colors
+
+
+def visualize_label_mask(mask, color_map):
+    """Integer label mask (H, W) -> RGB float image via the color map."""
+    mask = np.asarray(mask)
+    if mask.ndim == 3:
+        mask = mask.squeeze(0)
+    h, w = mask.shape
+    out = np.zeros((h, w, 3), dtype=np.float32)
+    for i, c in enumerate(color_map):
+        out[mask == i] = c
+    return out
+
+
+def create_pil_collage(images, fname=None, grid=None, return_im=False):
+    """Tile images (HW or HWC uint8/float arrays) into one PNG (ref :17-70)."""
+    from PIL import Image
+
+    imgs = []
+    for im in images:
+        im = np.asarray(im)
+        if im.dtype != np.uint8:
+            lo, hi = im.min(), im.max()
+            im = np.uint8((im - lo) / (hi - lo + 1e-12) * 255)
+        if im.ndim == 2:
+            im = np.stack([im] * 3, axis=-1)
+        imgs.append(im)
+
+    if grid is None:
+        rows, cols = 1, len(imgs)
+    else:
+        rows, cols = grid
+
+    h = max(i.shape[0] for i in imgs)
+    w = max(i.shape[1] for i in imgs)
+    canvas = np.zeros((rows * h, cols * w, 3), dtype=np.uint8)
+    for k, im in enumerate(imgs[: rows * cols]):
+        r, c = k // cols, k % cols
+        canvas[r * h : r * h + im.shape[0], c * w : c * w + im.shape[1]] = im
+
+    pil = Image.fromarray(canvas)
+    if fname is not None:
+        pil.save(fname)
+    if return_im:
+        return canvas
+    return pil
+
+
+def quick_imshow(nrows, ncols=1, images=None, colorbar=False, colormap="jet",
+                 fname=None):
+    """Grid of subplots (ref :73-157); returns the figure."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(nrows, ncols, squeeze=False)
+    if images is not None:
+        for k, im in enumerate(images[: nrows * ncols]):
+            ax = axes[k // ncols][k % ncols]
+            m = ax.imshow(np.asarray(im), cmap=colormap)
+            ax.axis("off")
+            if colorbar:
+                fig.colorbar(m, ax=ax)
+    if fname is not None:
+        fig.savefig(fname)
+    return fig
+
+
+def create_gif(fname, input_im, stride=1, scale=None, fps=5):
+    """Write a stack of frames (T, H, W[, C]) to an animated GIF (ref :290-347)."""
+    from PIL import Image
+
+    frames = []
+    arr = np.asarray(input_im)
+    for t in range(0, arr.shape[0], stride):
+        im = arr[t]
+        if im.dtype != np.uint8:
+            lo, hi = im.min(), im.max()
+            im = np.uint8((im - lo) / (hi - lo + 1e-12) * 255)
+        if im.ndim == 2:
+            im = np.stack([im] * 3, axis=-1)
+        pil = Image.fromarray(im)
+        if scale is not None:
+            pil = pil.resize((int(pil.width * scale), int(pil.height * scale)))
+        frames.append(pil)
+    frames[0].save(
+        fname, save_all=True, append_images=frames[1:],
+        duration=int(1000 / fps), loop=0,
+    )

@@ -7,7 +7,9 @@ xla_force_host_platform_device_count=8 CPU mesh validates them without TPUs.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU regardless of the ambient platform (the shell presets
+# JAX_PLATFORMS=axon to reach the real TPU; tests must not depend on it)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,3 +19,5 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# exact fp32 matmuls so golden-parity tolerances are meaningful
+jax.config.update("jax_default_matmul_precision", "highest")

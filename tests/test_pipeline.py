@@ -1,0 +1,203 @@
+"""End-to-end pipeline tests on a tiny (32²) generator, all five methods.
+
+Exercises the full setup→train→test flow the way evaluate.py/pretrain.py do,
+with synthesized pseudo-labelled samples (no checkpoints ship). CPU-runnable:
+this is BASELINE.json config #1's "CPU-runnable" requirement generalized.
+"""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+TINY_MODEL = """
+model_path = None
+num_latents_for_mean = 64
+truncation = 0.7
+image_size = 32
+latent_dim = 512
+gen_args = dict(size=32, style_dim=512, n_mlp=2)
+is_baggan = False
+sample_latents = '/nonexistent/latents.pt'
+sample_labels = '/nonexistent/labels.pt'
+sample_images = '/nonexistent/images/'
+one_shot_ind = 0
+classes = ['background', 'a', 'b', 'c']
+"""
+
+TINY_TRAINER = """
+lr = 0.001
+beta1, beta2 = 0.9, 0.99
+weight_decay = 0.0
+losses = ['cross_entropy']
+lambdas = [1.]
+scheduler_type = 'step'
+scheduler_args = dict(step_size=500, gamma=0.1)
+num_epochs = 6
+print_freq = 3
+"""
+
+TINY_SWAV = """
+n_layers = 7
+n_hfc_layers = 3
+train_hfc = True
+layer_hf_dim = [512, 1024, 1024, 1024]
+hlen = sum(layer_hf_dim)  # 3584 == all 7 levels at size 32
+nclasses = 16
+hfc_prep_args = dict(
+    perturb_args=dict(truncation=0.7, n_layers=n_hfc_layers, n_samples=1,
+                      layer_no=None, perturb_std=[1.0]*n_hfc_layers),
+    swav_args=dict(num_epochs=2, num_samples=1, num_patches=2,
+                   sampling_method='random', patch_size=64,
+                   hf_interp='nearest', warmup_epochs=1, start_warmup=0.01,
+                   use_scheduler=False, base_lr=0.01, final_lr=0.0001,
+                   trust_coeff=0.01, freeze_prototype_niters=1,
+                   train_args=dict(lr=0.01, momentum=0.9),
+                   projn_nw='linear', temperature=0.01, nprototypes=32,
+                   nclasses=nclasses, hlen=hlen, add_local_loss=False,
+                   plot_test_images=False, epoch_print_freq=1, max_masks=4),
+    sinkhorn_args=dict(source_pdf='uniform', niters=3, eps=0.05),
+    train=train_hfc,
+    layer_hf_dim=layer_hf_dim,
+)
+seg_args = dict(size='XXS', in_ch=nclasses)
+"""
+
+TINY_SIMCLR = """
+n_layers = 7
+n_hfc_layers = 3
+train_hfc = True
+layer_hf_dim = [512, 1024, 1024, 1024]
+hlen = sum(layer_hf_dim)
+nclasses = 16
+hfc_prep_args = dict(
+    perturb_args=dict(truncation=0.7, n_layers=n_hfc_layers, n_samples=1,
+                      layer_no=None, perturb_std=[1.0]*n_hfc_layers),
+    simclr_args=dict(num_iters=2, batch_size=8, patch_size=64,
+                     hf_interp='nearest', trust_coeff=0.01,
+                     train_args=dict(lr=0.01, momentum=0.9),
+                     temperature=1.0, nclasses=nclasses, hlen=hlen,
+                     epoch_print_freq=1, max_masks=4),
+    train=train_hfc,
+    layer_hf_dim=layer_hf_dim,
+)
+seg_args = dict(size='XS', in_ch=nclasses)
+"""
+
+TINY_KMEANS = """
+n_layers = 7
+n_hfc_layers = 2
+clusters_per_layer = [4, 8]
+train_hfc = True
+hfc_prep_args = dict(
+    perturb_args=dict(truncation=0.7, n_layers=n_hfc_layers, n_samples=2,
+                      perturb_std=[1.0]*n_hfc_layers),
+    hfc_algo='hfc_kmeans',
+    hfc_args=dict(
+        kmeans_args=dict(verbose=0),
+        base_args=dict(out_dir=None, n_layers=n_hfc_layers,
+                       clusters_per_layer=clusters_per_layer, out_size=32,
+                       presaved=False)),
+    hier_encode=False,
+    hle_samples=2,
+    train=train_hfc,
+)
+seg_args = dict(size='S', in_ch=sum(clusters_per_layer))
+"""
+
+TINY_RP = "seg_args = dict(size='XS')\nn_layers = 7\n"
+TINY_DG = "seg_args = dict(size='S')\nn_layers = 7\n"
+
+
+@pytest.fixture()
+def tiny_configs(tmp_path):
+    cfg = {}
+    for name, body in [
+        ("model", TINY_MODEL),
+        ("trainer", TINY_TRAINER),
+        ("swav", TINY_SWAV),
+        ("simclr", TINY_SIMCLR),
+        ("kmeans", TINY_KMEANS),
+        ("rp", TINY_RP),
+        ("dg", TINY_DG),
+    ]:
+        p = tmp_path / f"{name}_config.py"
+        p.write_text(textwrap.dedent(body))
+        cfg[name] = str(p)
+    return cfg
+
+
+def _run(tmp_path, tiny_configs, method, seg_key):
+    from ganecdotes_tpu.pipeline.one_shot_pipeline import OneShotPipeline
+
+    out = str(tmp_path / f"out_{method}")
+    pipe = OneShotPipeline(
+        out_dir=out,
+        model="ffhq-256",
+        segmentor=method,
+        num_test_samples=3,
+        custom={
+            "model": tiny_configs["model"],
+            "trainer": tiny_configs["trainer"],
+            "seg": tiny_configs[seg_key],
+        },
+    )
+    pipe.run_pipeline()
+    assert os.path.exists(os.path.join(out, "tests", "results.npz"))
+    assert os.path.exists(os.path.join(out, "tests", "mask_iou_results.csv"))
+    assert pipe.mean_mask_iou >= 0.0
+    preds = np.load(os.path.join(out, "tests", "label_predictions.npy"))
+    assert preds.shape[0] == 3
+    return pipe
+
+
+def test_pipeline_repurposegan(tmp_path, tiny_configs):
+    _run(tmp_path, tiny_configs, "repurposegan", "rp")
+
+
+def test_pipeline_datasetgan(tmp_path, tiny_configs):
+    _run(tmp_path, tiny_configs, "datasetgan", "dg")
+
+
+def test_pipeline_hfc_kmeans(tmp_path, tiny_configs):
+    pipe = _run(tmp_path, tiny_configs, "hfc_kmeans", "kmeans")
+    # clusterer checkpoints persisted in the reference layout
+    assert os.path.exists(os.path.join(pipe.out_dir, "clusterer_layer_0.npz"))
+
+
+def test_pipeline_hfc_with_swav(tmp_path, tiny_configs):
+    pipe = _run(tmp_path, tiny_configs, "hfc_with_swav", "swav")
+    assert os.path.exists(os.path.join(pipe.out_dir, "swav_params.npz"))
+
+
+def test_pipeline_hfc_with_simclr(tmp_path, tiny_configs):
+    pipe = _run(tmp_path, tiny_configs, "hfc_with_simclr", "simclr")
+    assert os.path.exists(os.path.join(pipe.out_dir, "simclr_params.npz"))
+
+
+def test_swav_presaved_reload(tmp_path, tiny_configs):
+    """evaluate.py semantics: train once, reload without retraining."""
+    from ganecdotes_tpu.pipeline.one_shot_pipeline import OneShotPipeline
+
+    out = str(tmp_path / "out_reload")
+    pipe = OneShotPipeline(
+        out_dir=out, model="ffhq-256", segmentor="hfc_with_swav",
+        num_test_samples=2,
+        custom={"model": tiny_configs["model"],
+                "trainer": tiny_configs["trainer"],
+                "seg": tiny_configs["swav"]},
+    )
+    pipe.run_pipeline(blocks_to_run=("setup", "train"))
+
+    pipe2 = OneShotPipeline(
+        out_dir=out, model="ffhq-256", segmentor="hfc_with_swav",
+        num_test_samples=2,
+        custom={"model": tiny_configs["model"],
+                "trainer": tiny_configs["trainer"],
+                "seg": tiny_configs["swav"]},
+    )
+    pipe2.seg_config.train_hfc = False
+    pipe2.seg_config.hfc_prep_args["train"] = False
+    pipe2.run_pipeline()
+    assert pipe2.mean_mask_iou >= 0.0

@@ -1,0 +1,205 @@
+"""Tests for the self-supervised layer: embedding decomposition, Sinkhorn,
+SwAV step, augmentor, segmentor heads (torch parity where meaningful)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ganecdotes_tpu.selfsup.augmentor import (
+    block_row_std,
+    group_features_by_block,
+    rotate_flip_nhwc,
+)
+from ganecdotes_tpu.selfsup.embed import (
+    pixel_feature_gather,
+    pixel_feature_maps,
+    project_feature_maps,
+    project_gathered,
+)
+from ganecdotes_tpu.selfsup.heads import (
+    init_one_shot_segmentor,
+    one_shot_segmentor_apply,
+    segmentor_out_channels,
+)
+from ganecdotes_tpu.selfsup.swav import (
+    init_swav_params,
+    normalize_prototypes,
+    sinkhorn_knopp,
+    swapped_prediction_loss,
+)
+
+
+def _fake_pyramid(key, b=1, sizes=((4, 8), (8, 16), (16, 12))):
+    keys = jax.random.split(key, len(sizes))
+    return [
+        jax.random.normal(k, (b, s, s, c)) for k, (s, c) in zip(keys, sizes)
+    ]
+
+
+def test_project_feature_maps_equals_concat_projection():
+    key = jax.random.PRNGKey(0)
+    feats = _fake_pyramid(key, b=2)
+    total_c = sum(f.shape[-1] for f in feats)
+    W = jax.random.normal(jax.random.PRNGKey(1), (total_c, 7))
+
+    full = pixel_feature_maps(feats, interp="nearest")
+    want = full @ W
+    got = project_feature_maps(feats, W, interp="nearest")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    # bilinear also commutes (linear map)
+    fullb = pixel_feature_maps(feats, interp="bilinear")
+    np.testing.assert_allclose(
+        np.asarray(project_feature_maps(feats, W, interp="bilinear")),
+        np.asarray(fullb @ W),
+        atol=1e-4,
+    )
+
+
+def test_project_feature_maps_respects_hlen_truncation():
+    key = jax.random.PRNGKey(2)
+    feats = _fake_pyramid(key)
+    hlen = 15  # cuts into the second level (8 + 16 channels)
+    W = jax.random.normal(jax.random.PRNGKey(3), (hlen, 5))
+    want = pixel_feature_maps(feats, hlen=hlen) @ W
+    got = project_feature_maps(feats, W, hlen=hlen)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_pixel_gather_matches_full_maps():
+    key = jax.random.PRNGKey(4)
+    feats = _fake_pyramid(key)
+    full = pixel_feature_maps(feats)  # (1, 16, 16, C)
+    picks = jax.random.permutation(jax.random.PRNGKey(5), 16 * 16)[:50]
+    got = pixel_feature_gather(feats, picks, (16, 16))
+    ys, xs = picks // 16, picks % 16
+    want = full[:, ys, xs, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    W = jax.random.normal(jax.random.PRNGKey(6), (full.shape[-1], 9))
+    got_p = project_gathered(feats, picks, (16, 16), W)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want @ W), atol=1e-4)
+
+
+def test_sinkhorn_marginals_converge():
+    key = jax.random.PRNGKey(7)
+    scores = jax.random.normal(key, (64, 16))
+    r = jnp.ones((16,)) / 16
+    c = jnp.ones((64,)) / 64
+    q = sinkhorn_knopp(scores, niters=50, eps=0.5, r=r, c=c)
+    # columns of Q^T (rows of q over prototypes... q is (B, K)); after the
+    # final renorm each pixel's code sums to 1/K-normalized columns: check
+    # the pre-transpose invariant instead: row sums approach r after iters
+    np.testing.assert_allclose(np.asarray(q.sum(axis=1)), 1.0, atol=1e-3)
+    assert np.all(np.asarray(q) >= 0)
+
+
+def test_sinkhorn_extreme_scores_no_overflow():
+    # eps=0.005 with O(1) scores overflows a naive exp(score/eps) in fp32;
+    # the stabilized form must stay finite (swav config sinkhorn eps=0.005)
+    scores = jnp.asarray(np.random.RandomState(0).randn(100, 50) * 1.0)
+    q = sinkhorn_knopp(scores, 10, 0.005,
+                       jnp.ones((50,)) / 50, jnp.ones((100,)) / 100)
+    assert np.isfinite(np.asarray(q)).all()
+
+
+def test_swapped_loss_matches_torch_formula():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(8)
+    p_s, p_t = rng.randn(20, 10).astype(np.float32), rng.randn(20, 10).astype(
+        np.float32
+    )
+    q_s, q_t = np.abs(rng.randn(20, 10)).astype(np.float32), np.abs(
+        rng.randn(20, 10)
+    ).astype(np.float32)
+
+    lst = torch.mean(
+        torch.sum(torch.from_numpy(q_s) * F.log_softmax(torch.from_numpy(p_t), 1), 1)
+    )
+    lts = torch.mean(
+        torch.sum(torch.from_numpy(q_t) * F.log_softmax(torch.from_numpy(p_s), 1), 1)
+    )
+    want = float(-0.5 * (lst + lts))
+    got = float(
+        swapped_prediction_loss(
+            jnp.asarray(p_s), jnp.asarray(p_t), jnp.asarray(q_s), jnp.asarray(q_t)
+        )
+    )
+    assert abs(got - want) < 1e-5
+
+
+def test_prototype_renorm_unit_rows():
+    params = init_swav_params(jax.random.PRNGKey(9), 32, 8, 20)
+    params = normalize_prototypes(params)
+    norms = jnp.linalg.norm(params["prototype"]["weight"], axis=0)
+    np.testing.assert_allclose(np.asarray(norms), 1.0, atol=1e-6)
+
+
+def test_block_row_std_selects_pair():
+    std = block_row_std(jnp.asarray(2), n_layers=6, perturb_std=[1.0] * 6,
+                        n_latent=14)
+    want = np.zeros(14)
+    want[4] = want[5] = 1.0
+    np.testing.assert_allclose(np.asarray(std), want)
+
+
+def test_group_features_by_block():
+    feats = [jnp.zeros((1, 4, 4, 2 + i)) for i in range(7)]
+    groups = group_features_by_block(feats)
+    assert len(groups) == 4
+    assert groups[0].shape[-1] == 2
+    assert groups[1].shape[-1] == 3 + 4
+    groups_nc = group_features_by_block(feats, skip_const=True)
+    assert len(groups_nc) == 3
+
+
+def test_rotate_flip_identity():
+    x = jax.random.normal(jax.random.PRNGKey(10), (1, 8, 8, 3))
+    y = rotate_flip_nhwc(x, jnp.asarray(0.0), jnp.asarray(False))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+    y = rotate_flip_nhwc(x, jnp.asarray(0.0), jnp.asarray(True))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x[:, :, ::-1, :]), atol=1e-6)
+
+
+def test_one_shot_segmentor_matches_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    # rebuild the reference head structure in torch and compare (size S)
+    in_ch, n_class = 16, 8
+    params = init_one_shot_segmentor(jax.random.PRNGKey(11), in_ch, n_class, "S")
+
+    dil = [1, 2, 1, 2, 1]
+    chans = [in_ch, 128, 64, 64, 32, n_class]
+    layers = []
+    for d, ci, co in zip(dil, chans[:-1], chans[1:]):
+        layers += [nn.Conv2d(ci, co, 3, padding=d, dilation=d), nn.LeakyReLU(0.2)]
+    tmodel = nn.Sequential(*layers[:-1])
+    with torch.no_grad():
+        for i, p in enumerate(params):
+            tmodel[2 * i].weight.copy_(
+                torch.from_numpy(np.asarray(p["weight"]).transpose(3, 2, 0, 1))
+            )
+            tmodel[2 * i].bias.copy_(torch.from_numpy(np.asarray(p["bias"])))
+
+    x = np.random.RandomState(12).randn(1, 12, 12, in_ch).astype(np.float32)
+    with torch.no_grad():
+        want = (
+            tmodel(torch.from_numpy(x).permute(0, 3, 1, 2))
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+    got = one_shot_segmentor_apply(params, jnp.asarray(x), "S")
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_xxs_zip_truncation_quirk():
+    params = init_one_shot_segmentor(jax.random.PRNGKey(13), 512, 8, "XXS")
+    assert len(params) == 1
+    out = one_shot_segmentor_apply(params, jnp.zeros((1, 6, 6, 512)), "XXS")
+    assert out.shape[-1] == 12  # NOT n_class — reproduces the reference quirk
+    assert segmentor_out_channels(8, "XXS") == 12
+    assert segmentor_out_channels(8, "S") == 8
