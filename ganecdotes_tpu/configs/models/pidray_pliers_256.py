@@ -2,7 +2,7 @@ from ganecdotes_tpu import ROOT_DIR, CONFIGS_DIR
 
 # BagGAN-HQ generator trained on X-ray baggage imagery (PIDRay); the
 # generator is built+loaded through ganecdotes_tpu.models.baggan.
-config_path = CONFIGS_DIR + '/../models/baggan_config/config_pidray_unlabeled.py'
+config_path = CONFIGS_DIR + '/models/baggan/config_pidray_unlabeled.py'
 
 num_latents_for_mean = 4096
 truncation = 0.95

@@ -1,0 +1,385 @@
+"""Adaptive discriminator augmentation (StyleGAN2-ADA), TPU-native.
+
+Re-design of lib/gan/ada.py:15-544: random affine geometry (flip / 90°
+rotations / translate / iso+aniso scale / rotations, composed as 3×3 mats,
+applied with SYM6 wavelet anti-aliasing through 2× upfirdn → grid_sample →
+2× down) and random color (brightness / contrast / luma-flip / hue / sat as
+4×4 mats), plus the adaptive-p controller.
+
+TPU-first differences (documented, not silent):
+
+* The reference computes reflect padding per batch from the sampled affine
+  matrices (ada.py:377-412) — data-dependent shapes that would retrace under
+  jit. Here the pad is a static bound (``pad_frac`` of the image, default ¼,
+  which covers the ±0.125 translations and typical scale draws; content
+  mapping outside the bound reads reflect-padded pixels, exactly what the
+  reference's pad clamp also does at its w-1 limit).
+* Double-backward through grid_sample (needed because R1 differentiates
+  through the augmentation) is native JAX autodiff — the reference's
+  GridSampleForward/Backward Functions (ada.py:415-453) have no counterpart.
+* The adaptive controller's cross-replica all_reduce (ada.py:15-25) becomes a
+  psum when run inside shard_map; the host-side class sums globally-visible
+  arrays directly.
+
+All image tensors are NHWC.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ganecdotes_tpu.ops.grid_sample import grid_sample_bilinear
+from ganecdotes_tpu.ops.upfirdn2d import upfirdn2d
+
+SYM6 = (
+    0.015404109327027373, 0.0034907120842174702, -0.11799011114819057,
+    -0.048311742585633, 0.4910559419267466, 0.787641141030194,
+    0.3379294217276218, -0.07263752278646252, -0.021060292512300564,
+    0.04472490177066578, 0.0017677118642428036, -0.007800708325034148,
+)
+
+
+# ---------------------------------------------------------------------------
+# transform matrices (batched)
+# ---------------------------------------------------------------------------
+
+
+def translate_mat(t_x, t_y):
+    b = t_x.shape[0]
+    mat = jnp.tile(jnp.eye(3), (b, 1, 1))
+    return mat.at[:, 0, 2].set(t_x).at[:, 1, 2].set(t_y)
+
+
+def rotate_mat(theta):
+    b = theta.shape[0]
+    mat = jnp.tile(jnp.eye(3), (b, 1, 1))
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    return (
+        mat.at[:, 0, 0].set(c).at[:, 0, 1].set(-s)
+        .at[:, 1, 0].set(s).at[:, 1, 1].set(c)
+    )
+
+
+def scale_mat(s_x, s_y):
+    b = s_x.shape[0]
+    mat = jnp.tile(jnp.eye(3), (b, 1, 1))
+    return mat.at[:, 0, 0].set(s_x).at[:, 1, 1].set(s_y)
+
+
+def translate3d_mat(t_x, t_y, t_z):
+    b = t_x.shape[0]
+    mat = jnp.tile(jnp.eye(4), (b, 1, 1))
+    return mat.at[:, 0, 3].set(t_x).at[:, 1, 3].set(t_y).at[:, 2, 3].set(t_z)
+
+
+def scale3d_mat(s_x, s_y, s_z):
+    b = s_x.shape[0]
+    mat = jnp.tile(jnp.eye(4), (b, 1, 1))
+    return mat.at[:, 0, 0].set(s_x).at[:, 1, 1].set(s_y).at[:, 2, 2].set(s_z)
+
+
+def rotate3d_mat(axis, theta):
+    u_x, u_y, u_z = axis
+    eye = jnp.eye(3)
+    cross = jnp.asarray([(0, -u_z, u_y), (u_z, 0, -u_x), (-u_y, u_x, 0)])
+    outer = jnp.outer(jnp.asarray(axis), jnp.asarray(axis))
+    sin_t = jnp.sin(theta)[:, None, None]
+    cos_t = jnp.cos(theta)[:, None, None]
+    rot = cos_t * eye + sin_t * cross + (1 - cos_t) * outer
+    b = theta.shape[0]
+    mat = jnp.tile(jnp.eye(4), (b, 1, 1))
+    return mat.at[:, :3, :3].set(rot)
+
+
+def luma_flip_mat(axis, i):
+    b = i.shape[0]
+    eye = jnp.tile(jnp.eye(4), (b, 1, 1))
+    ax = jnp.asarray(axis + (0,))
+    flip = 2 * jnp.outer(ax, ax) * i[:, None, None]
+    return eye - flip
+
+
+def saturation_mat(axis, i):
+    b = i.shape[0]
+    eye = jnp.tile(jnp.eye(4), (b, 1, 1))
+    ax = jnp.asarray(axis + (0,))
+    outer = jnp.outer(ax, ax)
+    return outer + (eye - outer) * i[:, None, None]
+
+
+# ---------------------------------------------------------------------------
+# random sampling of composed transforms
+# ---------------------------------------------------------------------------
+
+
+def _random_mat_apply(key, p, transform, prev, eye):
+    b = transform.shape[0]
+    select = jax.random.bernoulli(key, p, (b, 1, 1)).astype(transform.dtype)
+    return (select * transform + (1 - select) * eye) @ prev
+
+
+def sample_affine(key, p, size, height, width):
+    """Composed geometric transform (ref ada.py:269-325). Returns (B, 3, 3)."""
+    eye = jnp.tile(jnp.eye(3), (size, 1, 1))
+    G = eye
+    keys = jax.random.split(key, 16)
+
+    # flip
+    param = jax.random.randint(keys[0], (size,), 0, 2).astype(jnp.float32)
+    Gc = scale_mat(1 - 2.0 * param, jnp.ones(size))
+    G = _random_mat_apply(keys[1], p, Gc, G, eye)
+
+    # 90° rotate (0 or 3 quarter-turns)
+    param = jnp.asarray([0.0, 3.0])[jax.random.randint(keys[2], (size,), 0, 2)]
+    Gc = rotate_mat(-math.pi / 2 * param)
+    G = _random_mat_apply(keys[3], p, Gc, G, eye)
+
+    # integer translate
+    param = jax.random.uniform(keys[4], (2, size), minval=-0.125, maxval=0.125)
+    Gc = translate_mat(jnp.round(param[1] * width), jnp.round(param[0] * height))
+    G = _random_mat_apply(keys[5], p, Gc, G, eye)
+
+    # isotropic scale
+    param = jnp.exp(jax.random.normal(keys[6], (size,)) * 0.2 * math.log(2))
+    Gc = scale_mat(param, param)
+    G = _random_mat_apply(keys[7], p, Gc, G, eye)
+
+    p_rot = 1 - jnp.sqrt(1 - p)  # jnp: p may be the traced adaptive ada_aug_p
+
+    # pre-rotate
+    param = jax.random.uniform(keys[8], (size,), minval=-math.pi, maxval=math.pi)
+    G = _random_mat_apply(keys[9], p_rot, rotate_mat(-param), G, eye)
+
+    # anisotropic scale
+    param = jnp.exp(jax.random.normal(keys[10], (size,)) * 0.2 * math.log(2))
+    G = _random_mat_apply(keys[11], p, scale_mat(param, 1 / param), G, eye)
+
+    # post-rotate
+    param = jax.random.uniform(keys[12], (size,), minval=-math.pi, maxval=math.pi)
+    G = _random_mat_apply(keys[13], p_rot, rotate_mat(-param), G, eye)
+
+    # fractional translate
+    param = jax.random.normal(keys[14], (2, size)) * 0.125
+    Gc = translate_mat(param[1] * width, param[0] * height)
+    G = _random_mat_apply(keys[15], p, Gc, G, eye)
+
+    return G
+
+
+def sample_color(key, p, size):
+    """Composed color transform (ref ada.py:328-359). Returns (B, 4, 4)."""
+    eye = jnp.tile(jnp.eye(4), (size, 1, 1))
+    C = eye
+    axis_val = 1 / math.sqrt(3)
+    axis = (axis_val, axis_val, axis_val)
+    keys = jax.random.split(key, 10)
+
+    # brightness
+    param = jax.random.normal(keys[0], (size,)) * 0.2
+    C = _random_mat_apply(keys[1], p, translate3d_mat(param, param, param), C, eye)
+
+    # contrast
+    param = jnp.exp(jax.random.normal(keys[2], (size,)) * 0.5 * math.log(2))
+    C = _random_mat_apply(keys[3], p, scale3d_mat(param, param, param), C, eye)
+
+    # luma flip
+    param = jax.random.randint(keys[4], (size,), 0, 2).astype(jnp.float32)
+    C = _random_mat_apply(keys[5], p, luma_flip_mat(axis, param), C, eye)
+
+    # hue rotation
+    param = jax.random.uniform(keys[6], (size,), minval=-math.pi, maxval=math.pi)
+    C = _random_mat_apply(keys[7], p, rotate3d_mat(axis, param), C, eye)
+
+    # saturation
+    param = jnp.exp(jax.random.normal(keys[8], (size,)) * math.log(2))
+    C = _random_mat_apply(keys[9], p, saturation_mat(axis, param), C, eye)
+
+    return C
+
+
+# ---------------------------------------------------------------------------
+# application
+# ---------------------------------------------------------------------------
+
+
+def _affine_grid(theta, b, h, w):
+    """F.affine_grid(align_corners=False) semantics: normalized coords."""
+    xs = (jnp.arange(w) * 2 + 1) / w - 1
+    ys = (jnp.arange(h) * 2 + 1) / h - 1
+    base = jnp.stack(
+        [
+            jnp.tile(xs[None, :], (h, 1)),
+            jnp.tile(ys[:, None], (1, w)),
+            jnp.ones((h, w)),
+        ],
+        axis=-1,
+    )  # (h, w, 3)
+    grid = jnp.einsum("bij,hwj->bhwi", theta, base)  # theta (B, 2, 3)
+    return grid
+
+
+def _scale_single(s_x, s_y):
+    return jnp.asarray([[s_x, 0, 0], [0, s_y, 0], [0, 0, 1]], dtype=jnp.float32)
+
+
+def _translate_single(t_x, t_y):
+    return jnp.asarray([[1, 0, t_x], [0, 1, t_y], [0, 0, 1]], dtype=jnp.float32)
+
+
+def random_apply_affine(img, p, key, G=None, antialiasing_kernel=SYM6,
+                        pad_frac=0.25):
+    """Geometric ADA transform with SYM6 anti-aliasing (ref ada.py:464-517).
+
+    img: (B, H, W, C) NHWC. Returns (img_out, G). Static reflect padding of
+    ``pad_frac``·size + kernel margin replaces the reference's per-batch pad.
+    """
+    k = np.asarray(antialiasing_kernel, dtype=np.float32)
+    len_k = len(k)
+    k_row = jnp.asarray(k)[None, :]  # (1, k): filters x
+    k_col = jnp.asarray(k)[:, None]
+    k_flip = jnp.asarray(k[::-1])
+
+    b, h, w, c = img.shape
+    if G is None:
+        G = jnp.linalg.inv(sample_affine(key, p, b, h, w))
+
+    pad_k = len_k // 4
+    pad_x = int(round(w * pad_frac)) + pad_k * 2
+    pad_y = int(round(h * pad_frac)) + pad_k * 2
+    img_pad = jnp.pad(
+        img, ((0, 0), (pad_y, pad_y), (pad_x, pad_x), (0, 0)), mode="reflect"
+    )
+
+    # symmetric padding => the reference's (pad1-pad2)/2 recentering is zero
+    G_inv = G
+
+    up_pad = ((len_k + 1) // 2, (len_k - 2) // 2)
+    img_2x = upfirdn2d(img_pad, k_row, up=(2, 1), down=1,
+                       pad=(up_pad[0], up_pad[1], 0, 0))
+    img_2x = upfirdn2d(img_2x, k_col, up=(1, 2), down=1,
+                       pad=(0, 0, up_pad[0], up_pad[1]))
+
+    G_inv = _scale_single(2, 2) @ G_inv @ _scale_single(0.5, 0.5)
+    G_inv = _translate_single(-0.5, -0.5) @ G_inv @ _translate_single(0.5, 0.5)
+
+    out_h = (h + pad_k * 2) * 2
+    out_w = (w + pad_k * 2) * 2
+    G_inv = (
+        _scale_single(2 / img_2x.shape[2], 2 / img_2x.shape[1])
+        @ G_inv
+        @ _scale_single(1 / (2 / out_w), 1 / (2 / out_h))
+    )
+    grid = _affine_grid(G_inv[:, :2, :], b, out_h, out_w)
+    img_affine = grid_sample_bilinear(img_2x, grid)
+
+    d_p = -pad_k * 2
+    down_pad = (d_p + (len_k - 1) // 2, d_p + (len_k - 2) // 2)
+    img_down = upfirdn2d(img_affine, k_flip[None, :], up=1, down=(2, 1),
+                         pad=(down_pad[0], down_pad[1], 0, 0))
+    img_down = upfirdn2d(img_down, k_flip[:, None], up=1, down=(1, 2),
+                         pad=(0, 0, down_pad[0], down_pad[1]))
+    return img_down, G
+
+
+def apply_color(img, mat):
+    """img (B,H,W,3) @ mat[:3,:3]ᵀ + mat[:3,3] (ref ada.py:520-528)."""
+    mat_mul = mat[:, :3, :3]
+    mat_add = mat[:, :3, 3]
+    out = jnp.einsum("bhwc,bdc->bhwd", img, mat_mul.astype(img.dtype))
+    return out + mat_add[:, None, None, :].astype(img.dtype)
+
+
+def random_apply_color(img, p, key, C=None):
+    if C is None:
+        C = sample_color(key, p, img.shape[0])
+    return apply_color(img, C), C
+
+
+def augment(img, p, key, transform_matrix=(None, None)):
+    """Full ADA augmentation: affine then color (ref ada.py:540-544)."""
+    k1, k2 = jax.random.split(key)
+    img, G = random_apply_affine(img, p, k1, transform_matrix[0])
+    img, C = random_apply_color(img, p, k2, transform_matrix[1])
+    return img, (G, C)
+
+
+# ---------------------------------------------------------------------------
+# adaptive-p controller
+# ---------------------------------------------------------------------------
+
+
+def ada_update(state, real_pred, target, aug_len, update_every, axis_name=None):
+    """Functional controller step (jit/shard_map-safe).
+
+    state: dict(buf=(2,), update=int, p=float, r_t=float). When ``axis_name``
+    is given, the sign statistics are psum-reduced across replicas — the
+    TPU-native form of the reference's all_reduce (ada.py:15-25, :75).
+    """
+    signs = jnp.sign(real_pred).sum()
+    n = jnp.asarray(real_pred.reshape(-1).shape[0], jnp.float32)
+    if axis_name is not None:
+        signs = jax.lax.psum(signs, axis_name)
+        n = jax.lax.psum(n, axis_name)
+
+    buf = state["buf"] + jnp.asarray([signs, n])
+    update = state["update"] + 1
+
+    def do_update(args):
+        buf, update, p, _ = args
+        pred_signs, n_pred = buf[0], buf[1]
+        r_t = pred_signs / n_pred
+        sign = jnp.where(r_t > target, 1.0, -1.0)
+        p = jnp.clip(p + sign * n_pred / aug_len, 0.0, 1.0)
+        return jnp.zeros(2), jnp.asarray(0), p, r_t
+
+    def no_update(args):
+        buf, update, p, r_t = args
+        return buf, update, p, r_t
+
+    buf, update, p, r_t = jax.lax.cond(
+        update % update_every == 0, do_update, no_update,
+        (buf, update, state["p"], state["r_t"]),
+    )
+    return {"buf": buf, "update": update, "p": p, "r_t": r_t}
+
+
+def ada_init_state(p0=0.0):
+    return {
+        "buf": jnp.zeros(2),
+        "update": jnp.asarray(0),
+        "p": jnp.asarray(float(p0)),
+        "r_t": jnp.asarray(0.0),
+    }
+
+
+class AdaptiveAugment:
+    """Stateful wrapper with the reference's class API (ada.py:28-91).
+
+    The reference's ``tune`` has a bug (it builds torch.tensor((sign, tensor))
+    instead of (sign, count), ada.py:67-69); the intended statistic —
+    E[sign(D(real))] vs target — is implemented here.
+    """
+
+    def __init__(self, ada_aug_target, ada_aug_len, update_every, device=None):
+        del device
+        self.ada_aug_target = ada_aug_target
+        self.ada_aug_len = ada_aug_len
+        self.update_every = update_every
+        self.state = ada_init_state()
+
+    @property
+    def r_t_stat(self):
+        return float(self.state["r_t"])
+
+    @property
+    def ada_aug_p(self):
+        return float(self.state["p"])
+
+    def tune(self, real_pred):
+        self.state = ada_update(
+            self.state, jnp.asarray(real_pred), self.ada_aug_target,
+            self.ada_aug_len, self.update_every,
+        )
+        return float(self.state["p"])

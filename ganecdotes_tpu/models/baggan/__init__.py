@@ -1,36 +1,49 @@
 """BagGAN-HQ model family (StyleGAN2 for X-ray baggage imagery).
 
-The full BagGAN training engine (ADA augmentation, R1/PPL regularization,
-GAN losses) lives in ``ganecdotes_tpu.gan``. For the one-shot pipeline the
-BagGAN *generator* is architecturally a StyleGAN2 generator with the same
-channel map (ref models/baggan/models.py:257-378 mirrors
-models/stylegan2/model.py:457-648); it is served by the shared TPU generator
-with BagGAN checkpoints converted at the IO boundary.
+The BagGAN training engine (ADA, R1/PPL, GAN losses, checkpoint/scheduler
+scaffolding) lives in ``ganecdotes_tpu.gan.train.BagGANHQ``. For the one-shot
+pipeline the BagGAN *generator* is architecturally a StyleGAN2 generator with
+the same channel map (ref models/baggan/models.py:257-378 mirrors
+models/stylegan2/model.py:457-648), served by the shared TPU generator.
 """
 
+import glob
 import os
+
+from ganecdotes_tpu.utils.util import load_config
+from ganecdotes_tpu.utils.serialization import load_pytree
 
 
 def load_baggan_generator(model_config, key=None, logger=None):
     """Generator for a BagGAN model config (ref one_shot_pipeline.py:149-154).
 
-    Loads the trained BagGAN generator state when the checkpoint directory
-    exists; otherwise falls back to random init (no checkpoints ship).
+    Loads the newest '<suffix>_net_G.npz' from the BagGAN run's checkpoint
+    dir when one exists (GANBaseModel layout); otherwise random init.
     """
     from ganecdotes_tpu.models.stylegan2.generator import Generator
 
-    gen_args = dict(model_config.gen_args)
-    gen_args.pop("lr_mlp", None)
-    g = Generator(**gen_args, key=key)
+    ga = dict(model_config.gen_args)
+    g = Generator(
+        size=ga.get("size", 256),
+        style_dim=ga.get("style_dim", 512),
+        n_mlp=ga.get("n_mlp", 8),
+        channel_multiplier=ga.get("channel_multiplier", 2),
+        blur_kernel=tuple(ga.get("blur_kernel", (1, 3, 3, 1))),
+        key=key,
+    )
 
-    ckpt = getattr(model_config, "model_path", None)
-    if ckpt and os.path.exists(ckpt):
-        from ganecdotes_tpu.models.baggan.convert import load_baggan_checkpoint
-
-        g.params, g.meta = load_baggan_checkpoint(ckpt, gen_args["size"])
-        if logger:
-            logger.info(f"Loaded BagGAN checkpoint: {ckpt}")
-    elif logger:
+    cfg_path = getattr(model_config, "config_path", None)
+    if cfg_path and os.path.exists(cfg_path):
+        baggan_cfg = load_config(cfg_path, "baggan_config")
+        ckpts = sorted(
+            glob.glob(os.path.join(baggan_cfg.checkpoint_dir, "*_net_G.npz"))
+        )
+        if ckpts:
+            g.params = load_pytree(ckpts[-1])
+            if logger:
+                logger.info(f"Loaded BagGAN generator: {ckpts[-1]}")
+            return g
+    if logger:
         logger.warning(
             "BagGAN checkpoint not found - using randomly initialized "
             "generator weights"

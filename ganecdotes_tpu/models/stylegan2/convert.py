@@ -96,6 +96,46 @@ def convert_torch_generator_state(sd, size, style_dim=512, n_mlp=8,
     return params, meta
 
 
+def convert_torch_discriminator_state(sd, size, channel_multiplier=2):
+    """Map a reference Discriminator state_dict onto init_discriminator's
+    pytree (model.py:721-759 layout: convs.0 input ConvLayer, convs.1..N
+    ResBlocks, final_conv, final_linear)."""
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+          for k, v in sd.items()}
+
+    def conv(prefix, bias_prefix=None):
+        p = {"weight": jnp.asarray(np.transpose(_t(sd[prefix + ".weight"]),
+                                                (2, 3, 1, 0)))}
+        if bias_prefix and bias_prefix + ".bias" in sd:
+            p["bias"] = jnp.asarray(_t(sd[bias_prefix + ".bias"]))
+        elif prefix + ".bias" in sd:
+            p["bias"] = jnp.asarray(_t(sd[prefix + ".bias"]))
+        return p
+
+    log_size = int(math.log2(size))
+    params = {
+        # ConvLayer = Sequential(EqualConv2d, FusedLeakyReLU): weight at .0,
+        # activation bias at .1
+        "conv_in": conv("convs.0.0", "convs.0.1"),
+        "blocks": [],
+        "final_conv": conv("final_conv.0", "final_conv.1"),
+        "final_lin1": _linear(sd, "final_linear.0"),
+        "final_lin2": _linear(sd, "final_linear.1"),
+    }
+    for i in range(1, log_size - 1):
+        params["blocks"].append(
+            {
+                "conv1": conv(f"convs.{i}.conv1.0", f"convs.{i}.conv1.1"),
+                # downsample ConvLayer = Sequential(Blur, EqualConv2d, Act)
+                "conv2": conv(f"convs.{i}.conv2.1", f"convs.{i}.conv2.2"),
+                "skip": conv(f"convs.{i}.skip.1"),
+            }
+        )
+    meta = {"size": size, "stddev_group": 4, "stddev_feat": 1,
+            "blur_kernel": (1, 3, 3, 1)}
+    return params, meta
+
+
 def load_torch_checkpoint(path, size, **kwargs):
     """Load a .pt checkpoint (uses torch for unpickling only)."""
     import torch

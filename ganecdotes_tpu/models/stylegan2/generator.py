@@ -346,6 +346,10 @@ def generator_forward(
     image = skip
     assert 1 + len(params["convs"]) == num_layers
 
+    if return_latents == "all":
+        # BagGAN generator contract: (image, latent, features)
+        # (ref models/baggan/models.py:374-378)
+        return image, latent, features
     if return_latents:
         return image, latent
     return image, features

@@ -6,26 +6,24 @@ import numpy as np
 
 
 def sample_label_colors(n=1):
-    """n distinct colors via evenly spaced hues; class 0 = white (labeller.py)."""
+    """n colors at evenly spaced hues, s=0.5 v=1.0 (ref labeller.py:490-501)."""
     from matplotlib.colors import hsv_to_rgb
 
-    hues = np.linspace(0.0, 1.0, n, endpoint=False)
-    colors = hsv_to_rgb(
-        np.stack([hues, 0.85 * np.ones(n), 0.95 * np.ones(n)], axis=-1)
-    )
-    colors[0] = np.array([1.0, 1.0, 1.0])
-    return colors
+    h = np.linspace(0.0, 1.0, n)[:, np.newaxis]
+    s = np.ones((n, 1)) * 0.5
+    v = np.ones((n, 1)) * 1.0
+    return hsv_to_rgb(np.concatenate([h, s, v], axis=1))
 
 
 def visualize_label_mask(mask, color_map):
-    """Integer label mask (H, W) -> RGB float image via the color map."""
+    """Integer mask (H, W) -> RGB; class 0 stays black (ref labeller.py:504-514)."""
     mask = np.asarray(mask)
     if mask.ndim == 3:
         mask = mask.squeeze(0)
     h, w = mask.shape
     out = np.zeros((h, w, 3), dtype=np.float32)
-    for i, c in enumerate(color_map):
-        out[mask == i] = c
+    for i in range(1, len(color_map)):
+        out[mask == i] = color_map[i]
     return out
 
 

@@ -1,0 +1,216 @@
+"""Tests for the GAN stack: discriminator parity, losses, ADA, BagGAN trainer."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ganecdotes_tpu.gan.ada import (
+    AdaptiveAugment,
+    ada_init_state,
+    ada_update,
+    apply_color,
+    augment,
+    random_apply_affine,
+    sample_affine,
+    sample_color,
+)
+from ganecdotes_tpu.gan.losses import (
+    dice_loss,
+    gan_loss,
+    gradient_penalty,
+    normal_nll_loss,
+    r1_penalty,
+)
+from ganecdotes_tpu.models.stylegan2.discriminator import (
+    discriminator_forward,
+    init_discriminator,
+)
+
+REF_PATH = "/root/reference"
+
+
+def test_discriminator_matches_reference_torch():
+    torch = pytest.importorskip("torch")
+    import os
+
+    if not os.path.isdir(REF_PATH):
+        pytest.skip("reference tree not available")
+    if REF_PATH not in sys.path:
+        sys.path.insert(0, REF_PATH)
+    from models.stylegan2.model import Discriminator as TorchD
+
+    from ganecdotes_tpu.models.stylegan2.convert import (
+        convert_torch_discriminator_state,
+    )
+
+    torch.manual_seed(0)
+    d = TorchD(size=32)
+    d.eval()
+    params, meta = convert_torch_discriminator_state(d.state_dict(), 32)
+
+    x = np.random.RandomState(0).randn(4, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        want = d(torch.from_numpy(x)).numpy()
+    got = discriminator_forward(params, meta, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-4)
+
+
+def test_gan_loss_modes_match_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    pred = np.random.RandomState(1).randn(6, 1).astype(np.float32)
+    tp = torch.from_numpy(pred)
+
+    for mode, tloss in [("lsgan", nn.MSELoss()), ("vanilla", nn.BCEWithLogitsLoss())]:
+        f = gan_loss(mode)
+        for real in (True, False):
+            target = torch.ones_like(tp) if real else torch.zeros_like(tp)
+            want = float(tloss(tp, target))
+            got = float(f(jnp.asarray(pred), real))
+            assert abs(got - want) < 1e-5, (mode, real)
+
+    f = gan_loss("wgangp")
+    assert abs(float(f(jnp.asarray(pred), True)) + pred.mean()) < 1e-6
+    assert abs(float(f(jnp.asarray(pred), False)) - pred.mean()) < 1e-6
+
+
+def test_r1_penalty_quadratic_oracle():
+    # D(x) = sum(a*x²) -> grad = 2a·x, R1 = E_b[Σ (2a x)²]
+    a = 0.7
+    x = jnp.asarray(np.random.RandomState(2).randn(3, 4, 4, 1).astype(np.float32))
+    penalty, pred = r1_penalty(lambda v: jnp.sum(a * v**2, axis=(1, 2, 3),
+                                                 keepdims=True)[..., 0], x)
+    want = np.mean(np.sum((2 * a * np.asarray(x)) ** 2, axis=(1, 2, 3)))
+    assert abs(float(penalty) - want) < 1e-4
+    assert pred.shape[0] == 3
+
+
+def test_gradient_penalty_unit_norm():
+    # D(x) = Σx -> grad = 1 everywhere, ‖grad‖ = sqrt(N), penalty=(sqrt(N)-1)²
+    x = jnp.ones((2, 4, 4, 1))
+    gp, grads = gradient_penalty(
+        lambda v: jnp.sum(v, axis=(1, 2, 3)), x, x * 0.5,
+        jax.random.PRNGKey(0),
+    )
+    want = (np.sqrt(16) - 1.0) ** 2
+    assert abs(float(gp) - want) < 1e-4
+
+
+def test_normal_nll_and_dice():
+    x = jnp.zeros((2, 3))
+    mu = jnp.zeros((2, 3))
+    var = jnp.ones((2, 3))
+    nll = float(normal_nll_loss(x, mu, var))
+    want = 0.5 * np.log(2 * np.pi) * 3  # per-sample sum over 3 dims
+    assert abs(nll - want) < 1e-3
+
+    a = jnp.ones((1, 4, 4, 2))
+    assert abs(float(dice_loss(a, a))) < 1e-5
+    assert abs(float(dice_loss(a, 0 * a)) - 1.0) < 1e-4
+
+
+def test_affine_identity_reconstruction():
+    """p=0 => G=I; the up→gridsample→down chain must roughly reconstruct."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    y, G = random_apply_affine(x, 0.0, jax.random.PRNGKey(0))
+    assert y.shape == x.shape
+    np.testing.assert_allclose(np.asarray(G), np.tile(np.eye(3), (2, 1, 1)),
+                               atol=1e-6)
+    # SYM6 up/down is near-perfect-reconstruction away from borders
+    err = np.abs(np.asarray(y) - np.asarray(x))[:, 4:-4, 4:-4, :].max()
+    assert err < 5e-2, err
+
+
+def test_color_identity_and_application():
+    x = jnp.asarray(np.random.RandomState(4).rand(2, 8, 8, 3).astype(np.float32))
+    eye = jnp.tile(jnp.eye(4), (2, 1, 1))
+    np.testing.assert_allclose(np.asarray(apply_color(x, eye)), np.asarray(x),
+                               atol=1e-6)
+    C = sample_color(jax.random.PRNGKey(1), 1.0, 2)
+    got = apply_color(x, C)
+    want = np.einsum("bhwc,bdc->bhwd", np.asarray(x),
+                     np.asarray(C)[:, :3, :3]) + np.asarray(C)[:, None, None, :3, 3]
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_augment_shapes_and_grad():
+    x = jnp.asarray(np.random.RandomState(5).rand(2, 16, 16, 3).astype(np.float32))
+    y, (G, C) = augment(x, 0.5, jax.random.PRNGKey(2))
+    assert y.shape == x.shape
+
+    # differentiable through the augmentation (R1 requires this)
+    g = jax.grad(lambda v: augment(v, 0.5, jax.random.PRNGKey(2))[0].sum())(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_ada_controller_raises_p_on_confident_real_preds():
+    st = ada_init_state()
+    for _ in range(16):
+        st = ada_update(st, jnp.ones((8,)), target=0.6, aug_len=64,
+                        update_every=8)
+    assert float(st["p"]) > 0  # overconfident D (all signs +) => p increases
+
+    aug = AdaptiveAugment(0.6, 64, 8)
+    for _ in range(8):
+        p = aug.tune(jnp.ones((8,)))
+    assert p > 0
+    assert aug.r_t_stat == 1.0
+
+
+def test_sample_affine_invertible():
+    G = sample_affine(jax.random.PRNGKey(3), 1.0, 4, 32, 32)
+    assert G.shape == (4, 3, 3)
+    det = np.linalg.det(np.asarray(G))
+    assert np.all(np.abs(det) > 1e-3)
+
+
+def test_bagganhq_trainer_smoke(tmp_path):
+    """Full GAN iterations on a tiny config: D, R1, G, PPL, ADA, ckpt IO."""
+    import types
+
+    from ganecdotes_tpu.gan.train import BagGANHQ
+
+    cfg = types.SimpleNamespace(
+        out_dir=str(tmp_path), checkpoint_dir=str(tmp_path / "ckpt"),
+        is_train=True, image_size=32, latent_dim=64, num_channels=3,
+        batch_size=2, gan_mode="vanilla", use_ppl=True, r1_lambda=10,
+        ppl_lambda=2, path_batch_shrink=2, ppl_decay=0.01, d_reg_every=2,
+        g_reg_every=2, mixing_prob=0.0, chl_multiplier=1,
+        g_reg_ratio=4 / 5, d_reg_ratio=16 / 17, augment=True, augment_p=0,
+        ada_target=0.6, ada_length=100, lr=0.002, beta1=0.0,
+        lr_policy="linear",
+        lr_params=dict(epoch_count=1, n_epochs=2, n_epochs_decay=2),
+        generator_params=dict(mlp_layers=2),
+        losses_to_print=["g_gan", "d", "g_ppl"],
+        start_epoch=1, continue_train=False, load_net=False,
+    )
+    gan = BagGANHQ(cfg)
+    gan.setup_gan()
+    gan.print_networks()
+
+    real = jnp.asarray(
+        np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32) * 2 - 1
+    )
+    for it in range(2):
+        gan.set_input(data_sample={"ct": real}, iter_no=it, epoch_no=0)
+        gan.optimize_parameters()
+
+    losses = gan.get_current_losses()
+    assert np.isfinite(losses["d"]) and np.isfinite(losses["g_gan"])
+    assert "g_ppl" in losses and np.isfinite(losses["g_ppl"])
+
+    img = gan.test()
+    assert img.shape == (2, 32, 32, 3)
+
+    gan.save_networks("latest")
+    p0 = jax.tree.leaves(gan.generator_params)[0].copy()
+    gan.generator_params = jax.tree.map(lambda x: x * 0, gan.generator_params)
+    gan.load_networks("latest")
+    np.testing.assert_allclose(jax.tree.leaves(gan.generator_params)[0], p0)
+
+    gan.update_learning_rate()

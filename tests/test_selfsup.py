@@ -128,7 +128,9 @@ def test_swapped_loss_matches_torch_formula():
             jnp.asarray(p_s), jnp.asarray(p_t), jnp.asarray(q_s), jnp.asarray(q_t)
         )
     )
-    assert abs(got - want) < 1e-5
+    # fp32 log-softmax accumulation order differs between backends; the
+    # magnitude of the loss here is ~20, so compare relatively.
+    assert abs(got - want) < 1e-5 * max(1.0, abs(want))
 
 
 def test_prototype_renorm_unit_rows():
