@@ -22,11 +22,22 @@ def _nearest_indices(n_in, n_out):
 
 
 def resize_nearest(x, size):
-    """NHWC nearest resize matching F.interpolate(mode='nearest')."""
+    """NHWC nearest resize matching F.interpolate(mode='nearest').
+
+    Integer upscale factors take a broadcast path (torch nearest with
+    out = s·in reduces to pixel repetition: src = floor(dst/s)); broadcasts
+    fuse into consumers on TPU where gathers materialize.
+    """
     h, w = (size, size) if isinstance(size, int) else size
     b, ih, iw, c = x.shape
     if (ih, iw) == (h, w):
         return x
+    if h % ih == 0 and w % iw == 0:
+        sh, sw = h // ih, w // iw
+        out = jnp.broadcast_to(
+            x[:, :, None, :, None, :], (b, ih, sh, iw, sw, c)
+        )
+        return out.reshape(b, h, w, c)
     ri = jnp.asarray(_nearest_indices(ih, h))
     ci = jnp.asarray(_nearest_indices(iw, w))
     return x[:, ri][:, :, ci]

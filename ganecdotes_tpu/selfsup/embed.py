@@ -80,7 +80,32 @@ def project_feature_maps(features, weight, hlen=None, interp="nearest"):
     w = max(f.shape[2] for f in features)
     dims = layer_channel_dims(features)
     chunks = _split_weight_by_layer(weight, dims, hlen)
-    resize = resize_nearest if interp == "nearest" else resize_bilinear
+
+    if interp == "nearest":
+        # Progressive coarse→fine accumulation: integer-factor nearest
+        # upsampling composes exactly (floor(dst/s1·s2) = iterated floors),
+        # so the accumulator is upsampled ×2 per resolution step instead of
+        # upsampling every level straight to full res — one full-res
+        # temporary instead of len(features), and the broadcasts fuse.
+        acc = None
+        for f, (off, use) in zip(features, chunks):
+            if use == 0:
+                continue
+            w_l = weight[off : off + use].astype(f.dtype)
+            z = f[..., :use] @ w_l  # native-resolution matmul
+            if acc is None:
+                acc = z
+            else:
+                ah, aw = acc.shape[1], acc.shape[2]
+                fh, fw = z.shape[1], z.shape[2]
+                if (fh, fw) != (ah, aw):
+                    if fh % ah == 0 and fw % aw == 0:
+                        acc = resize_nearest(acc, (fh, fw))
+                    else:  # non-nested pyramid: fall back to direct upsample
+                        acc = resize_nearest(acc, (h, w))
+                        z = resize_nearest(z, (h, w))
+                acc = acc + z
+        return resize_nearest(acc, (h, w))
 
     out = None
     for f, (off, use) in zip(features, chunks):
@@ -88,7 +113,7 @@ def project_feature_maps(features, weight, hlen=None, interp="nearest"):
             continue
         w_l = weight[off : off + use].astype(f.dtype)
         z = f[..., :use] @ w_l  # native-resolution matmul
-        z = resize(z, (h, w))
+        z = resize_bilinear(z, (h, w))
         out = z if out is None else out + z
     return out
 
