@@ -9,3 +9,10 @@ from ganecdotes_tpu.gan.losses import (
     dice_loss,
 )
 from ganecdotes_tpu.gan.ada import augment, AdaptiveAugment, sample_affine, sample_color
+from ganecdotes_tpu.gan.image_pool import ImagePool
+from ganecdotes_tpu.gan.train import (
+    BagGANHQ,
+    GANBaseModel,
+    get_scheduler,
+    initialize_params,
+)

@@ -47,6 +47,46 @@ from ganecdotes_tpu.utils.serialization import load_pytree, save_pytree
 from ganecdotes_tpu.utils.util import get_logger
 
 
+def initialize_params(params, key, init_type="normal", init_gain=0.02):
+    """Re-initialize every conv/linear weight leaf in a params pytree.
+
+    Counterpart of the reference's ``initialize_net`` weight-init switch
+    (models/baggan/gan_util.py:129-166): normal / xavier / kaiming /
+    orthogonal over weights, zeros over biases. The DataParallel /
+    DistributedDataParallel wrapping half of that function has no
+    counterpart — replication is a sharding annotation under pjit
+    (SURVEY.md §2 parallelism inventory), not a module wrapper.
+    """
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(key, len(leaves))
+
+    def init_leaf(leaf, k):
+        if leaf.ndim == 1:  # bias
+            return jnp.zeros_like(leaf)
+        fan_in = int(np.prod(leaf.shape[:-1]))
+        fan_out = int(leaf.shape[-1])
+        if init_type == "normal":
+            return init_gain * jax.random.normal(k, leaf.shape, leaf.dtype)
+        if init_type == "xavier":
+            std = init_gain * float(np.sqrt(2.0 / (fan_in + fan_out)))
+            return std * jax.random.normal(k, leaf.shape, leaf.dtype)
+        if init_type == "kaiming":
+            std = float(np.sqrt(2.0 / fan_in))
+            return std * jax.random.normal(k, leaf.shape, leaf.dtype)
+        if init_type == "orthogonal":
+            flat = jax.random.normal(k, (fan_in, fan_out))
+            q, r = jnp.linalg.qr(flat if fan_in >= fan_out else flat.T)
+            q = q * jnp.sign(jnp.diagonal(r))[None, :]
+            if fan_in < fan_out:
+                q = q.T
+            return (init_gain * q.reshape(leaf.shape)).astype(leaf.dtype)
+        raise NotImplementedError(f"init type {init_type} not found")
+
+    return jax.tree.unflatten(
+        treedef, [init_leaf(l, k) for l, k in zip(leaves, keys)]
+    )
+
+
 def get_scheduler(lr_policy, epoch_count=None, n_epochs=None,
                   n_epochs_decay=None, lr_decay_iters=None):
     """LR multiplier schedule f(epoch) (ref gan_util.py:72-127)."""

@@ -127,3 +127,100 @@ def discriminator_forward(params, meta, x):
     out = equal_linear_apply(params["final_lin1"], out, activation="fused_lrelu")
     out = equal_linear_apply(params["final_lin2"], out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# InfoGAN variant (BagGAN's `with_q` discriminator)
+# ---------------------------------------------------------------------------
+
+
+def init_discriminator_q(key, size, q_layers, n_cat_c, n_classes, n_cont_c,
+                         channel_multiplier=2, in_channels=3,
+                         blur_kernel=(1, 3, 3, 1)):
+    """Discriminator with InfoGAN Q-heads (ref models/baggan/models.py:393-498).
+
+    The trunk's last ``q_layers`` ResBlocks plus the final stddev/conv/MLP
+    stack are duplicated per head: adversarial D, categorical code head
+    (n_cat_c codes × n_classes, softmax) and continuous code head
+    (n_cont_c × 2 for (mu, var), tanh).
+    """
+    base, meta = init_discriminator(
+        key, size, channel_multiplier, in_channels, blur_kernel
+    )
+    n_blocks = len(base["blocks"])
+    q_layers = min(q_layers, n_blocks)
+    channels = channel_map(channel_multiplier)
+    keys = iter(jax.random.split(jax.random.fold_in(key, 1), 8))
+
+    def tail():
+        t = {
+            "blocks": [
+                jax.tree.map(jnp.copy, b) for b in base["blocks"][n_blocks - q_layers:]
+            ],
+            "final_conv": jax.tree.map(jnp.copy, base["final_conv"]),
+        }
+        return t
+
+    params = {
+        "conv_in": base["conv_in"],
+        "blocks_adv": base["blocks"][: n_blocks - q_layers],
+        "d": {**tail(), "lin1": base["final_lin1"], "lin2": base["final_lin2"]},
+    }
+    if n_cat_c > 0:
+        params["q_cat"] = {
+            **tail(),
+            "lin1": equal_linear_init(next(keys), channels[4] * 16, channels[4]),
+            "lin2": equal_linear_init(next(keys), channels[4], n_cat_c * n_classes),
+        }
+    if n_cont_c > 0:
+        params["q_cont"] = {
+            **tail(),
+            "lin1": equal_linear_init(next(keys), channels[4] * 16, channels[4]),
+            "lin2": equal_linear_init(next(keys), channels[4], n_cont_c * 2),
+        }
+    meta = dict(meta, q_layers=q_layers, n_cat_c=n_cat_c,
+                n_classes=n_classes, n_cont_c=n_cont_c)
+    return params, meta
+
+
+def _head_apply(head, meta, x, out_act=None):
+    bk = meta["blur_kernel"]
+    out = x
+    for blk in head["blocks"]:
+        out = _res_block_apply(blk, out, blur_kernel=bk)
+    out = minibatch_stddev(out, meta["stddev_group"], meta["stddev_feat"])
+    out = _conv_layer_apply(head["final_conv"], out, blur_kernel=bk)
+    b = out.shape[0]
+    out = out.transpose(0, 3, 1, 2).reshape(b, -1)
+    out = equal_linear_apply(head["lin1"], out, activation="fused_lrelu")
+    out = equal_linear_apply(head["lin2"], out)
+    if out_act == "softmax":
+        out = jax.nn.softmax(out, axis=-1)
+    elif out_act == "tanh":
+        out = jnp.tanh(out)
+    return out
+
+
+def discriminator_forward_q(params, meta, x):
+    """(B,H,W,C) -> (d_logits, q_cat | None, q_cont | None).
+
+    Mirrors the reference's three-way forward (models.py:500-574): shared
+    adversarial trunk, then separate stddev+conv+MLP tails per head.
+    """
+    bk = meta["blur_kernel"]
+    out = _conv_layer_apply(params["conv_in"], x, blur_kernel=bk)
+    for blk in params["blocks_adv"]:
+        out = _res_block_apply(blk, out, blur_kernel=bk)
+
+    d = _head_apply(params["d"], meta, out)
+    q_cat = (
+        _head_apply(params["q_cat"], meta, out, out_act="softmax")
+        if "q_cat" in params
+        else None
+    )
+    q_cont = (
+        _head_apply(params["q_cont"], meta, out, out_act="tanh")
+        if "q_cont" in params
+        else None
+    )
+    return d, q_cat, q_cont

@@ -292,6 +292,69 @@ class HierarchicalKMeansHFC(BaseHFCModel):
         return np.repeat(np.asarray(centers), 2, axis=0)
 
 
+class LegacyHierarchicalKMeansHFC(BaseHFCModel):
+    """Older top-down hierarchical variant (ref hfc_hier_kmeans_clustering.py:
+    18-181): layers are clustered fine→coarse; each coarser layer's features
+    are nearest-resized to the child resolution and concatenated with the
+    child's one-hot prediction maps before clustering. ``hierarchical_predict``
+    returns the per-layer label maps and the channel-concat of all one-hot
+    maps at out_size, in layer order."""
+
+    def __init__(self, kmeans_args, base_args):
+        self.kmeans_args = dict(kmeans_args)
+        super().__init__(**base_args)
+
+    def _concat_child(self, feat, child_maps):
+        if child_maps is None:
+            return feat
+        ch, cw = child_maps.shape[1], child_maps.shape[2]
+        feat = resize_nearest(feat, (ch, cw))
+        return jnp.concatenate([feat, child_maps], axis=-1)
+
+    def _onehot_maps(self, labels, n, h, w):
+        b = labels.shape[0]
+        onehot = jax.nn.one_hot(
+            labels.reshape(b, h, w), self.clusters_per_layer[n]
+        )
+        return resize_nearest(onehot, (self.out_size, self.out_size))
+
+    def fit(self, hidden_feat):
+        assert len(hidden_feat) == self.n_layer
+        child_maps = None
+        for n in range(self.n_layer - 1, -1, -1):
+            feat = self._concat_child(jnp.asarray(hidden_feat[n]), child_maps)
+            b, h, w, c = feat.shape
+            x = feat.reshape(-1, c)
+            self.key, kf = jax.random.split(self.key)
+            self.centers[n] = kmeans_fit(x, self.clusters_per_layer[n], kf)
+            labels = kmeans_predict(x, self.centers[n]).reshape(b, h, w)
+            child_maps = self._onehot_maps(labels.reshape(b, -1), n, h, w)
+            np.savez_compressed(
+                self.model_fpaths[n], centers=np.asarray(self.centers[n])
+            )
+            self._log(f"Fitted model for Layer {n}")
+
+    def hierarchical_predict(self, hidden_feat):
+        assert len(hidden_feat) == self.n_layer
+        cluster_maps, cluster_labels = [], []
+        child_maps = None
+        for n in range(self.n_layer - 1, -1, -1):
+            feat = self._concat_child(jnp.asarray(hidden_feat[n]), child_maps)
+            b, h, w, c = feat.shape
+            labels = kmeans_predict(feat.reshape(-1, c), self.centers[n])
+            labels = labels.reshape(b, h, w)
+            child_maps = self._onehot_maps(labels.reshape(b, -1), n, h, w)
+            lab_rs = resize_nearest(
+                labels[..., None].astype(jnp.float32),
+                (self.out_size, self.out_size),
+            ).astype(jnp.int32)[..., 0]
+            cluster_maps.append(child_maps)
+            cluster_labels.append(lab_rs[:, None])
+        cluster_maps = jnp.concatenate(cluster_maps[::-1], axis=-1)
+        cluster_labels = jnp.concatenate(cluster_labels[::-1], axis=1)
+        return cluster_labels, cluster_maps
+
+
 # ---------------------------------------------------------------------------
 # bayesian hierarchical label encoding
 # ---------------------------------------------------------------------------

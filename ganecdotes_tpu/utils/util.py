@@ -91,3 +91,37 @@ class ConfigLoader(object):
         for key, val in vars(args).items():
             setattr(self.config, key, val)
         return self.config
+
+
+def send_email_notification(body, pswd, receiver=None, sender=None,
+                            subject="Email Auto-alert",
+                            smtp_host="smtp.gmail.com", smtp_port=465):
+    """Send a plain-text alert email over SMTP-SSL (ref lib/util/util.py:224-259).
+
+    Credentials are passed in, never stored. Raises on missing addresses or
+    SMTP failures so callers can decide whether alerts are fatal.
+    """
+    import smtplib
+    import time as _time
+    from email.mime.multipart import MIMEMultipart
+    from email.mime.text import MIMEText
+
+    if not (sender and receiver):
+        raise ValueError("send_email_notification requires sender and receiver")
+
+    msg = MIMEMultipart()
+    msg["From"] = sender
+    msg["To"] = receiver
+    msg["Subject"] = subject or (
+        "ganecdotes_tpu alert: "
+        + _time.strftime("%m-%d-%Y %H:%M:%S", _time.localtime())
+    )
+    msg.attach(MIMEText(body))
+
+    server = smtplib.SMTP_SSL(smtp_host, smtp_port)
+    try:
+        server.ehlo()
+        server.login(sender, pswd)
+        server.sendmail(sender, receiver, msg.as_string())
+    finally:
+        server.close()

@@ -214,3 +214,59 @@ def test_bagganhq_trainer_smoke(tmp_path):
     np.testing.assert_allclose(jax.tree.leaves(gan.generator_params)[0], p0)
 
     gan.update_learning_rate()
+
+
+def test_image_pool_semantics():
+    from ganecdotes_tpu.gan.image_pool import ImagePool
+
+    imgs = np.arange(4 * 2 * 2 * 1, dtype=np.float32).reshape(4, 2, 2, 1)
+    # pool_size=0 is a pass-through
+    assert ImagePool(0).query(imgs) is imgs
+
+    pool = ImagePool(2, seed=0)
+    out1 = pool.query(imgs[:2])
+    np.testing.assert_array_equal(out1, imgs[:2])  # fills the buffer
+    assert pool.num_imgs == 2
+    out2 = pool.query(imgs[2:])
+    assert out2.shape == (2, 2, 2, 1)
+    # every returned image is either the fresh one or a previously pooled one
+    seen = {float(im.sum()) for im in imgs}
+    assert all(float(im.sum()) in seen for im in out2)
+
+
+def test_initialize_params_types():
+    from ganecdotes_tpu.gan.train import initialize_params
+
+    params = {
+        "w": jnp.ones((3, 3, 8, 16)),
+        "b": jnp.ones((16,)),
+        "lin": {"weight": jnp.ones((32, 8)), "bias": jnp.ones((8,))},
+    }
+    for t in ("normal", "xavier", "kaiming", "orthogonal"):
+        new = initialize_params(params, jax.random.PRNGKey(0), t)
+        assert np.allclose(np.asarray(new["b"]), 0)
+        assert not np.allclose(np.asarray(new["w"]), 1)
+        if t == "orthogonal":
+            q = np.asarray(new["lin"]["weight"]) / 0.02
+            np.testing.assert_allclose(q.T @ q, np.eye(8), atol=1e-4)
+
+
+def test_discriminator_q_heads():
+    from ganecdotes_tpu.models.stylegan2.discriminator import (
+        discriminator_forward_q,
+        init_discriminator_q,
+    )
+
+    params, meta = init_discriminator_q(
+        jax.random.PRNGKey(0), 32, q_layers=1, n_cat_c=2, n_classes=5,
+        n_cont_c=3,
+    )
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 32, 32, 3),
+                    dtype=jnp.float32)
+    d, q_cat, q_cont = discriminator_forward_q(params, meta, x)
+    assert d.shape == (4, 1)
+    assert q_cat.shape == (4, 10)
+    # softmax over the flat categorical output (reference nn.Softmax over all)
+    np.testing.assert_allclose(np.asarray(q_cat.sum(axis=-1)), 1.0, atol=1e-5)
+    assert q_cont.shape == (4, 6)
+    assert np.all(np.abs(np.asarray(q_cont)) <= 1.0)  # tanh-bounded

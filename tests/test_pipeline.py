@@ -201,3 +201,40 @@ def test_swav_presaved_reload(tmp_path, tiny_configs):
     pipe2.seg_config.hfc_prep_args["train"] = False
     pipe2.run_pipeline()
     assert pipe2.mean_mask_iou >= 0.0
+
+
+def test_fits_roundtrip(tmp_path):
+    from ganecdotes_tpu.utils.fits import read_fits_data, save_fits_data
+
+    rng = np.random.RandomState(0)
+    for arr in (
+        rng.randn(16, 16).astype(np.float32),
+        (rng.rand(4, 8, 8) * 255).astype(np.int16),
+    ):
+        p = str(tmp_path / "t.fits")
+        save_fits_data(p, arr)
+        back = read_fits_data(p, field=0)
+        np.testing.assert_array_equal(back, arr)
+
+
+def test_legacy_hierarchical_kmeans(tmp_path):
+    import jax.numpy as jnp
+
+    from ganecdotes_tpu.selfsup.kmeans import LegacyHierarchicalKMeansHFC
+
+    rng = np.random.RandomState(1)
+    feats = [
+        jnp.asarray(rng.rand(1, 8, 8, 6).astype(np.float32)),
+        jnp.asarray(rng.rand(1, 16, 16, 4).astype(np.float32)),
+    ]
+    m = LegacyHierarchicalKMeansHFC(
+        {}, dict(out_dir=str(tmp_path), n_layers=2, clusters_per_layer=[3, 4],
+                 out_size=16),
+    )
+    m.fit(feats)
+    labels, maps = m.hierarchical_predict(feats)
+    assert labels.shape == (1, 2, 16, 16)
+    assert maps.shape == (1, 16, 16, 7)  # 3 + 4 one-hot channels
+    s = np.asarray(maps).reshape(-1, 7)
+    np.testing.assert_allclose(s[:, :3].sum(-1), 1.0)  # one-hot per layer
+    np.testing.assert_allclose(s[:, 3:].sum(-1), 1.0)
