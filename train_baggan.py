@@ -1,0 +1,105 @@
+"""Train a BagGAN-HQ model (StyleGAN2 + ADA) on a directory of .npy images.
+
+The reference ships the BagGANHQ trainer class but trains it in an external
+repo (README.md:133-138); this CLI makes the framework self-sufficient:
+config-file driven (models/baggan/config layout), native C++ prefetching
+data loader (ganecdotes_tpu/runtime), per-epoch checkpoints in the
+GANBaseModel '%s_net_%s' layout that the one-shot pipeline's BagGAN model
+configs load.
+
+    python train_baggan.py --config ganecdotes_tpu/configs/models/baggan/\
+config_pidray_unlabeled.py --data_dir /path/to/npy --epochs 10
+"""
+
+import argparse
+import glob
+import os
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", required=True,
+                    help="BagGAN config module (see configs/models/baggan/)")
+    ap.add_argument("--data_dir", default=None,
+                    help=".npy image directory; synthetic noise when absent")
+    ap.add_argument("--out_dir", default=None, help="override config.out_dir")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--iters_per_epoch", type=int, default=None)
+    ap.add_argument("--save_every", type=int, default=1,
+                    help="checkpoint every N epochs")
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from ganecdotes_tpu.gan.train import BagGANHQ
+    from ganecdotes_tpu.utils.util import load_config
+
+    cfg = load_config(args.config, "baggan_config")
+    if args.out_dir:
+        cfg.out_dir = args.out_dir
+        cfg.checkpoint_dir = os.path.join(args.out_dir, "checkpoints")
+    n_epochs = args.epochs or getattr(cfg, "n_epochs", 10)
+    size = cfg.image_size
+    chans = getattr(cfg, "num_channels", 3)
+
+    gan = BagGANHQ(cfg)
+    gan.setup_gan()
+    gan.print_networks()
+
+    if args.data_dir:
+        paths = sorted(
+            glob.glob(os.path.join(args.data_dir, "**", "*.npy"),
+                      recursive=True)
+        )
+        if not paths:
+            raise SystemExit(f"no .npy files under {args.data_dir}")
+        from ganecdotes_tpu.runtime import make_loader
+
+        loader = make_loader(paths, cfg.batch_size, size, size, chans)
+        iters = args.iters_per_epoch or max(1, len(paths) // cfg.batch_size)
+        gan.logger.info(
+            f"data: {len(paths)} files, loader="
+            f"{type(loader).__name__}, {iters} iters/epoch"
+        )
+    else:
+        loader = None
+        iters = args.iters_per_epoch or 10
+        gan.logger.info("no --data_dir: training against noise (smoke mode)")
+        rng = np.random.RandomState(0)
+
+    it = 0
+    for epoch in range(gan.epoch, gan.epoch + n_epochs):
+        t0 = time.time()
+        for _ in range(iters):
+            batch = (
+                loader.next()
+                if loader is not None
+                else rng.rand(cfg.batch_size, size, size, chans).astype(
+                    np.float32
+                ) * 2 - 1
+            )
+            gan.set_input(data_sample={"ct": batch}, iter_no=it,
+                          epoch_no=epoch)
+            gan.optimize_parameters()
+            it += 1
+        losses = gan.get_current_losses()
+        loss_str = " ".join(f"{k}={v:.4f}" for k, v in losses.items())
+        gan.logger.info(
+            f"epoch {epoch} | {loss_str} | ada_p={gan.ada_aug_p:.3f} "
+            f"| {time.time() - t0:.1f}s"
+        )
+        if epoch % args.save_every == 0:
+            gan.save_networks("latest")
+            gan.save_networks(str(epoch))
+        gan.update_learning_rate()
+
+    if loader is not None:
+        loader.close()
+    gan.save_networks("latest")
+    gan.logger.info("training complete")
+
+
+if __name__ == "__main__":
+    main()
