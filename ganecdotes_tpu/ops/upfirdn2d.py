@@ -28,9 +28,16 @@ TPU-first design — three interchangeable implementations:
                          VPU-bound depthwise conv. The banded matrices are
                          built once per (size, up, down, pad, taps) on host
                          and closed over as constants.
-* Pallas fused kernel    (``ganecdotes_tpu.ops.upfirdn2d_pallas``) fuses both
-                         passes in VMEM — picked automatically on TPU for
-                         shapes where it wins.
+* Pallas fused kernel    (``ganecdotes_tpu.ops.upfirdn2d_pallas``,
+                         ``impl='pallas'``) fuses both separable passes in
+                         VMEM with double-buffered HBM DMA for the blur
+                         (up=down=1) case — the analog of the reference CUDA
+                         kernel's tiled shared-memory specializations.
+                         Measured on v5e (32×128×128×128): pallas 3.3 ms /
+                         2.4 ms bf16 vs matmul 3.1 / 2.2 — XLA's pipelining
+                         of the two einsums already saturates HBM, so 'auto'
+                         keeps the matmul path and the kernel stays an
+                         explicit opt-in.
 
 All functions are NHWC (TPU-native layout). The reference is NCHW; the
 conversion happens only at checkpoint/IO boundaries.
@@ -172,8 +179,9 @@ def _upfirdn2d_matmul(x, taps_y, taps_x, up, down, pad):
 def upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0), impl="auto"):
     """Fused upsample→FIR→downsample (NHWC).
 
-    ``impl``: 'auto' | 'matmul' | 'ref'. 'auto' uses the MXU matmul
-    factorization whenever the kernel is separable.
+    ``impl``: 'auto' | 'matmul' | 'pallas' | 'ref'. 'auto' uses the MXU
+    matmul factorization whenever the kernel is separable; 'pallas' opts in
+    to the fused VMEM kernel (blur case only, see upfirdn2d_pallas).
     """
     if impl == "ref":
         return upfirdn2d_ref(x, kernel, up=up, down=down, pad=pad)
@@ -181,15 +189,23 @@ def upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0), impl="auto"):
         kernel_np = np.asarray(kernel)
     except Exception:
         # traced (non-constant) kernel: separability can't be decided on host
-        if impl == "matmul":
-            raise ValueError("upfirdn2d impl='matmul' requires a constant kernel")
+        if impl in ("matmul", "pallas"):
+            raise ValueError(f"upfirdn2d impl={impl!r} requires a constant kernel")
         return upfirdn2d_ref(x, kernel, up=up, down=down, pad=pad)
     taps = _separable_taps(kernel_np)
     if taps is None:
-        if impl == "matmul":
-            raise ValueError("upfirdn2d impl='matmul' requires a separable kernel")
+        if impl in ("matmul", "pallas"):
+            raise ValueError(f"upfirdn2d impl={impl!r} requires a separable kernel")
         return upfirdn2d_ref(x, kernel, up=up, down=down, pad=pad)
     taps_y, taps_x = taps
+    if impl == "pallas":
+        from ganecdotes_tpu.ops import upfirdn2d_pallas as ufp
+
+        up_n, down_n, pad_n = _normalize_args(up, down, pad)
+        if ufp.fits(x.shape, taps_y, taps_x, up_n, down_n, pad_n):
+            return ufp.upfirdn2d_pallas(x, taps_y, taps_x, up_n, down_n, pad_n)
+        # shapes/modes outside the kernel's specializations use the matmul
+        # path, like the reference's generic `_large` fallback
     return _upfirdn2d_matmul(x, taps_y, taps_x, up, down, pad)
 
 

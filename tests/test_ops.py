@@ -193,3 +193,45 @@ def test_grid_sample_matches_torch():
     )
     got = grid_sample_bilinear(jnp.asarray(x), jnp.asarray(grid))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "shape,pad",
+    [
+        ((2, 16, 16, 128), (2, 1, 2, 1)),
+        ((1, 8, 8, 128), (-1, 2, 2, -1)),  # crop + pad mix
+        ((2, 17, 13, 256), (2, 1, 1, 2)),  # odd sizes -> alignment padding
+    ],
+)
+def test_upfirdn2d_pallas_blur_parity_and_grad(shape, pad):
+    from ganecdotes_tpu.ops.upfirdn2d import (
+        _separable_taps,
+        make_kernel,
+        upfirdn2d_ref,
+    )
+    from ganecdotes_tpu.ops.upfirdn2d_pallas import fits, upfirdn2d_pallas
+
+    k = make_kernel((1, 3, 3, 1))
+    ty, tx = _separable_taps(k)
+    assert fits(shape, ty, tx, (1, 1), (1, 1), pad)
+    x = jnp.asarray(np.random.RandomState(0).randn(*shape).astype(np.float32))
+    want = upfirdn2d_ref(x, jnp.asarray(k), up=1, down=1, pad=pad)
+    got = upfirdn2d_pallas(x, ty, tx, (1, 1), (1, 1), pad)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    g_p = jax.grad(lambda v: (upfirdn2d_pallas(v, ty, tx, (1, 1), (1, 1),
+                                               pad) ** 2).sum())(x)
+    g_r = jax.grad(lambda v: (upfirdn2d_ref(v, jnp.asarray(k), up=1, down=1,
+                                            pad=pad) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r), atol=1e-4)
+
+
+def test_upfirdn2d_pallas_impl_flag_falls_back():
+    from ganecdotes_tpu.ops.upfirdn2d import make_kernel, upfirdn2d, upfirdn2d_ref
+
+    k = make_kernel((1, 3, 3, 1))
+    # c=3 (not 128-divisible) and up=2 both route to the matmul fallback
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 8, 8, 3).astype(np.float32))
+    got = upfirdn2d(x, k, up=2, down=1, pad=(2, 1), impl="pallas")
+    want = upfirdn2d_ref(x, jnp.asarray(k), up=2, down=1, pad=(2, 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
