@@ -103,3 +103,88 @@ def create_gif(fname, input_im, stride=1, scale=None, fps=5):
         fname, save_all=True, append_images=frames[1:],
         duration=int(1000 / fps), loop=0,
     )
+
+
+def slide_show(image, dt=0.01, vmax=None, vmin=None):
+    """Animate a (w, h, d) volume along depth (ref visualization.py:160-191)."""
+    import matplotlib.pyplot as plt
+
+    image = np.asarray(image)
+    fig, ax = plt.subplots()
+    im = ax.imshow(image[:, :, 0], vmax=vmax, vmin=vmin)
+    for k in range(image.shape[2]):
+        im.set_data(image[:, :, k])
+        ax.set_title(f"slice {k}")
+        plt.pause(dt)
+    plt.close(fig)
+
+
+def plot_boxplot(fname, vectors, titles=None, lbl_rotation=None):
+    """Box plot of (labels, data) vector pairs (ref visualization.py:194-227)."""
+    import matplotlib.pyplot as plt
+
+    labels, data = vectors
+    fig, ax = plt.subplots()
+    ax.boxplot(data, tick_labels=list(labels))
+    titles = titles or {}
+    ax.set_xlabel(titles.get("xlabel", ""))
+    ax.set_ylabel(titles.get("ylabel", ""))
+    ax.set_title(titles.get("title", ""))
+    if lbl_rotation is not None:
+        plt.setp(ax.get_xticklabels(), rotation=lbl_rotation)
+    fig.tight_layout()
+    fig.savefig(fname)
+    plt.close(fig)
+
+
+def plot_histogram_1d(fname, vectors, titles=None, legend=True, is_hist=True,
+                      hist_params=None):
+    """Overlaid 1-D histograms/line plots (ref visualization.py:230-270)."""
+    import matplotlib.pyplot as plt
+
+    labels, data = vectors
+    titles = titles or {}
+    hist_params = hist_params or {}
+    fig, ax = plt.subplots()
+    for lbl, vec in zip(labels, data):
+        if is_hist:
+            ax.hist(np.asarray(vec), label=str(lbl), alpha=0.6, **hist_params)
+        else:
+            ax.plot(np.asarray(vec), label=str(lbl))
+    ax.set_xlabel(titles.get("xlabel", ""))
+    ax.set_ylabel(titles.get("ylabel", ""))
+    ax.set_title(titles.get("title", ""))
+    if legend:
+        ax.legend()
+    fig.tight_layout()
+    fig.savefig(fname)
+    plt.close(fig)
+
+
+def load_image(im_path):
+    """Load png/jpg/tiff/npy/npz/FITS images (ref visualization.py:273-287)."""
+    import os
+
+    ext = os.path.splitext(im_path)[-1].lower()
+    if ext in (".png", ".jpg", ".jpeg", ".tiff"):
+        from PIL import Image
+
+        return np.asarray(Image.open(im_path))
+    if ext == ".npy":
+        return np.load(im_path)
+    if ext == ".npz":
+        return np.load(im_path)["arr_0"]
+    if ext in (".fits", ".gz"):
+        from ganecdotes_tpu.utils.fits import read_fits_data
+
+        return read_fits_data(im_path)
+    raise AssertionError("Format not supported!")
+
+
+def plot_image_on_axis(ax, image, title=None, cmap=None, vmin=None, vmax=None):
+    """Render one image on a matplotlib axis (ref visualization.py:350-388)."""
+    ax.imshow(np.asarray(image), cmap=cmap, vmin=vmin, vmax=vmax)
+    ax.set_axis_off()
+    if title:
+        ax.set_title(title)
+    return ax
