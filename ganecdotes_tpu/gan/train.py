@@ -329,31 +329,41 @@ class BagGANHQ(GANBaseModel):
             updates, opt_state = self.optimizer_d.update(grads, opt_state, d_params)
             return optax.apply_updates(d_params, updates), opt_state, loss
 
-        def g_loss_fn(g_params, d_params, z, key, ada_p):
+        def g_loss_fn(g_params, d_params, z, key, ada_p, inject_index):
             kz, ka = jax.random.split(key)
-            fake_img, _ = synth(g_params, z, kz, None)
+            fake_img, _ = synth(g_params, z, kz, inject_index)
             d_in = fake_img
             if use_aug:
                 d_in, _ = augment(d_in, ada_p, ka)
             pred_fake = discriminator_forward(d_params, d_meta, d_in)
             return adv(pred_fake, True)
 
-        def g_step(g_params, opt_state, d_params, z, key, ada_p):
+        def g_step(g_params, opt_state, d_params, z, key, ada_p,
+                   inject_index):
             loss, grads = jax.value_and_grad(g_loss_fn)(
-                g_params, d_params, z, key, ada_p
+                g_params, d_params, z, key, ada_p, inject_index
             )
             updates, opt_state = self.optimizer_g.update(grads, opt_state, g_params)
             return optax.apply_updates(g_params, updates), opt_state, loss
 
         def ppl_step(g_params, opt_state, z, key, mean_path_length):
             kz, kn = jax.random.split(key)
+            size = meta["size"]
+            noise_imgs = jax.random.normal(
+                kn, (z[0].shape[0], size, size, getattr(cfg, "num_channels", 3))
+            ) / float(size)
 
             def loss_fn(g_params_inner):
-                img, lat = synth(g_params_inner, z, kz, None)
-                h, w = img.shape[1], img.shape[2]
-                noise_imgs = jax.random.normal(kn, img.shape) / jnp.sqrt(
-                    float(h * w)
+                # w+ from the mapping MLP alone — the PPL Jacobian probes
+                # the stored-noise synthesis g(w+), so synthesizing a second
+                # random-noise image first (as a literal translation of the
+                # reference's forward would) only doubles the cost
+                from ganecdotes_tpu.models.stylegan2.generator import (
+                    mapping_apply,
                 )
+
+                w = mapping_apply(g_params_inner, z[0])
+                lat = jnp.repeat(w[:, None, :], meta["n_latent"], axis=1)
 
                 # PPL through the synthesis only (w⁺ -> image), as in the
                 # reference's autograd.grad wrt returned latents (:254-257)
@@ -368,10 +378,7 @@ class BagGANHQ(GANBaseModel):
                     gen_from_lat, lat, noise_imgs, mean_path_length,
                     decay=cfg.ppl_decay,
                 )
-                weighted = (
-                    cfg.ppl_lambda * cfg.g_reg_every * ppl
-                    + 0 * img[0, 0, 0, 0]
-                )
+                weighted = cfg.ppl_lambda * cfg.g_reg_every * ppl
                 return weighted, (new_mean, ppl)
 
             (loss, (new_mean, raw_ppl)), grads = jax.value_and_grad(
@@ -389,7 +396,7 @@ class BagGANHQ(GANBaseModel):
         # each cached)
         self._d_step = jax.jit(d_step, static_argnums=(7,))
         self._r1_step = jax.jit(r1_step)
-        self._g_step = jax.jit(g_step)
+        self._g_step = jax.jit(g_step, static_argnums=(6,))
         self._ppl_step = jax.jit(ppl_step)
 
     # ------------------------------------------------------------------
@@ -419,8 +426,9 @@ class BagGANHQ(GANBaseModel):
                 z = jax.random.normal(kz, (2, self.bsize, self.latent_size))
                 self.input_latent = [z[0], z[1]]
                 self.key, ki = jax.random.split(self.key)
+                # ref random.randint(1, n_latent-1) is INCLUSIVE of both ends
                 self.inject_index = int(
-                    jax.random.randint(ki, (), 1, self.gen_meta["n_latent"] - 1)
+                    jax.random.randint(ki, (), 1, self.gen_meta["n_latent"])
                 )
             else:
                 self.input_latent = [
@@ -470,7 +478,7 @@ class BagGANHQ(GANBaseModel):
 
         self.generator_params, self.opt_g_state, self.loss_g_gan = self._g_step(
             self.generator_params, self.opt_g_state, self.disc_params,
-            self.input_latent, kg, ada_p,
+            self.input_latent, kg, ada_p, self.inject_index,
         )
         self.loss_g = self.loss_g_gan
 

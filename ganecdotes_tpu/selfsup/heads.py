@@ -50,13 +50,15 @@ def _kaiming_uniform_conv(key, kh, kw, cin, cout):
     return {"weight": w, "bias": b}
 
 
-def _torch_linear_init(key, cin, cout):
+def _torch_linear_init(key, cin, cout, bias=True):
     bound = 1.0 / jnp.sqrt(cin)
     kw_, kb_ = jax.random.split(key)
-    return {
+    p = {
         "weight": jax.random.uniform(kw_, (cin, cout), minval=-bound, maxval=bound),
-        "bias": jax.random.uniform(kb_, (cout,), minval=-bound, maxval=bound),
     }
+    if bias:
+        p["bias"] = jax.random.uniform(kb_, (cout,), minval=-bound, maxval=bound)
+    return p
 
 
 def segmentor_out_channels(n_class, size="S"):

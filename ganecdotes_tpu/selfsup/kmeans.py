@@ -32,6 +32,36 @@ from ganecdotes_tpu.selfsup.augmentor import (
 # ---------------------------------------------------------------------------
 
 
+def _dist2(x, x_sq, centers):
+    # ||x||² - 2 x·c + ||c||², (N, K), MXU matmul dominates
+    return (
+        x_sq
+        - 2.0 * (x @ centers.T)
+        + jnp.sum(centers * centers, axis=1)[None, :]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _lloyd_refine(x, centers, max_iter=300):
+    """Lloyd iterations from given centers -> (centers, assignments, inertia).
+
+    Empty clusters keep their previous center.
+    """
+    k = centers.shape[0]
+    x_sq = jnp.sum(x * x, axis=1, keepdims=True)
+
+    def lloyd(_, c):
+        a = jnp.argmin(_dist2(x, x_sq, c), axis=1)
+        onehot = jax.nn.one_hot(a, k, dtype=x.dtype)  # (N, K)
+        counts = onehot.sum(axis=0)
+        new = (onehot.T @ x) / jnp.maximum(counts[:, None], 1.0)
+        return jnp.where(counts[:, None] > 0, new, c)
+
+    centers = jax.lax.fori_loop(0, max_iter, lloyd, centers)
+    d2 = _dist2(x, x_sq, centers)
+    return centers, jnp.argmin(d2, axis=1), jnp.sum(jnp.min(d2, axis=1))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "max_iter"))
 def _kmeans_single(x, key, k, max_iter=300):
     """One kmeans run: ++ init, fixed-iteration Lloyd. x: (N, D)."""
@@ -55,60 +85,15 @@ def _kmeans_single(x, key, k, max_iter=300):
     centers = jnp.zeros((k, d), x.dtype).at[0].set(first)
     centers, key = jax.lax.fori_loop(1, k, pp_body, (centers, key))
 
-    x_sq = jnp.sum(x * x, axis=1, keepdims=True)
-
-    def dist2(centers):
-        # ||x||² - 2 x·c + ||c||², (N, K), MXU matmul dominates
-        return (
-            x_sq
-            - 2.0 * (x @ centers.T)
-            + jnp.sum(centers * centers, axis=1)[None, :]
-        )
-
-    def lloyd(_, centers):
-        a = jnp.argmin(dist2(centers), axis=1)
-        onehot = jax.nn.one_hot(a, k, dtype=x.dtype)  # (N, K)
-        counts = onehot.sum(axis=0)
-        sums = onehot.T @ x
-        new = sums / jnp.maximum(counts[:, None], 1.0)
-        # keep empty clusters where they were
-        return jnp.where(counts[:, None] > 0, new, centers)
-
-    centers = jax.lax.fori_loop(0, max_iter, lloyd, centers)
-    a = jnp.argmin(dist2(centers), axis=1)
-    inertia = jnp.sum(jnp.min(dist2(centers), axis=1))
-    return centers, a, inertia
+    return _lloyd_refine(x, centers, max_iter)
 
 
 def kmeans_fit(x, k, key, n_init=10, max_iter=300, init_centers=None):
     """Best-of-n_init k-means (sklearn-default semantics). Returns centers."""
     x = jnp.asarray(x)
     if init_centers is not None:
-        centers = jnp.asarray(init_centers)[:k]
         # refine provided centers with Lloyd only
-
-        @functools.partial(jax.jit, static_argnames=())
-        def refine(x, centers):
-            x_sq = jnp.sum(x * x, axis=1, keepdims=True)
-
-            def dist2(c):
-                return x_sq - 2.0 * (x @ c.T) + jnp.sum(c * c, axis=1)[None, :]
-
-            def lloyd(_, c):
-                a = jnp.argmin(dist2(c), axis=1)
-                onehot = jax.nn.one_hot(a, c.shape[0], dtype=x.dtype)
-                counts = onehot.sum(axis=0)
-                return jnp.where(
-                    counts[:, None] > 0,
-                    (onehot.T @ x) / jnp.maximum(counts[:, None], 1.0),
-                    c,
-                )
-
-            c = jax.lax.fori_loop(0, 300, lloyd, centers)
-            a = jnp.argmin(dist2(c), axis=1)
-            return c, jnp.sum(jnp.min(dist2(c), axis=1))
-
-        centers, _ = refine(x, centers)
+        centers, _, _ = _lloyd_refine(x, jnp.asarray(init_centers)[:k], max_iter)
         return centers
 
     best_centers, best_inertia = None, np.inf

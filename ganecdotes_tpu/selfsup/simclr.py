@@ -127,12 +127,16 @@ def make_simclr_train_step(gen_meta, model_config, perturb_args, simclr_args,
         w_plus = jnp.repeat(w_tr[:, None, :], gen_meta["n_latent"], axis=1)
 
         if fixed_layer is None:
-            layer_no = jax.random.randint(k_layer, (), 0, n_layers)
+            # drawn independently per view, as in the reference
+            # (simclr_clustering.py perturbs each view with its own choice)
+            k_ls, k_lt = jax.random.split(k_layer)
+            layer_s = jax.random.randint(k_ls, (), 0, n_layers)
+            layer_t = jax.random.randint(k_lt, (), 0, n_layers)
         else:
-            layer_no = jnp.asarray(fixed_layer)
+            layer_s = layer_t = jnp.asarray(fixed_layer)
 
-        feats_s = view(gen_params, k_vs, w_plus, layer_no, k_as)
-        feats_t = view(gen_params, k_vt, w_plus, layer_no, k_at)
+        feats_s = view(gen_params, k_vs, w_plus, layer_s, k_as)
+        feats_t = view(gen_params, k_vt, w_plus, layer_t, k_at)
         picks = jax.random.permutation(k_pick, npix)[:batch]
 
         loss, grads = jax.value_and_grad(loss_fn)(params, feats_s, feats_t, picks)

@@ -46,13 +46,7 @@ from ganecdotes_tpu.utils.serialization import load_pytree, save_pytree
 # ---------------------------------------------------------------------------
 
 
-def _torch_linear_init(key, cin, cout, bias=True):
-    bound = 1.0 / math.sqrt(cin)
-    kw, kb = jax.random.split(key)
-    p = {"weight": jax.random.uniform(kw, (cin, cout), minval=-bound, maxval=bound)}
-    if bias:
-        p["bias"] = jax.random.uniform(kb, (cout,), minval=-bound, maxval=bound)
-    return p
+from ganecdotes_tpu.selfsup.heads import _torch_linear_init
 
 
 def init_swav_params(key, hlen, nclasses, nprototypes, projn_nw="linear"):
@@ -264,7 +258,8 @@ def make_swav_train_step(gen_meta, model_config, perturb_args, swav_args,
         )
         return feats
 
-    def loss_fn(ssl_params, feats_s, feats_t, img_s, img_t, pick_keys, layer_no):
+    def loss_fn(ssl_params, feats_s, feats_t, img_s, img_t, pick_keys,
+                layer_s, layer_t):
         def patch_loss(key):
             picks = jax.random.permutation(key, npix)[:patch]
             s_s = scores_fn(ssl_params, feats_s, picks)
@@ -278,18 +273,20 @@ def make_swav_train_step(gen_meta, model_config, perturb_args, swav_args,
             )
             if add_local:
                 # intended semantics of the (broken) channel-masking local
-                # loss (:420-451): zero the perturbed block's feature group
+                # loss (:420-451): zero the perturbed block's feature group.
+                # block_row_std perturbs w rows (2l, 2l+1), which style
+                # features f_{2l}, f_{2l+1} -> group_of(level) = level // 2
                 def group_of(level):
-                    return 0 if level == 0 else (level + 1) // 2
+                    return level // 2
 
-                def mask(feats):
+                def mask(feats, layer):
                     return [
-                        jnp.where(group_of(i) == layer_no, 0.0, 1.0) * f
+                        jnp.where(group_of(i) == layer, 0.0, 1.0) * f
                         for i, f in enumerate(feats)
                     ]
 
-                ms = scores_fn(ssl_params, mask(feats_s), picks)
-                mt = scores_fn(ssl_params, mask(feats_t), picks)
+                ms = scores_fn(ssl_params, mask(feats_s, layer_s), picks)
+                mt = scores_fn(ssl_params, mask(feats_t, layer_t), picks)
                 mq_s = jax.lax.stop_gradient(
                     sinkhorn_knopp(ms, niters, eps, r_s, c_s)
                 )
@@ -321,12 +318,17 @@ def make_swav_train_step(gen_meta, model_config, perturb_args, swav_args,
         ssl_params = normalize_prototypes(ssl_params)
 
         if fixed_layer is None:
-            layer_no = jax.random.randint(k_layer, (), 0, n_layers)
+            # the reference draws the perturbed block independently per view
+            # (np.random.choice inside each create_hidden_features call,
+            # swav_clustering.py:610-611)
+            k_ls, k_lt = jax.random.split(k_layer)
+            layer_s = jax.random.randint(k_ls, (), 0, n_layers)
+            layer_t = jax.random.randint(k_lt, (), 0, n_layers)
         else:
-            layer_no = jnp.asarray(fixed_layer)
+            layer_s = layer_t = jnp.asarray(fixed_layer)
 
-        feats_s = view_features(gen_params, k_vs, w_plus, layer_no)
-        feats_t = view_features(gen_params, k_vt, w_plus, layer_no)
+        feats_s = view_features(gen_params, k_vs, w_plus, layer_s)
+        feats_t = view_features(gen_params, k_vt, w_plus, layer_t)
 
         ang_s, flip_s = random_rotate_flip_params(k_as)
         ang_t, flip_t = random_rotate_flip_params(k_at)
@@ -341,7 +343,8 @@ def make_swav_train_step(gen_meta, model_config, perturb_args, swav_args,
 
         pick_keys = jax.random.split(k_picks, num_patches)
         loss, grads = jax.value_and_grad(loss_fn)(
-            ssl_params, feats_s, feats_t, img_s, img_t, pick_keys, layer_no
+            ssl_params, feats_s, feats_t, img_s, img_t, pick_keys,
+            layer_s, layer_t,
         )
         updates, opt_state = optimizer.update(grads, opt_state, ssl_params)
         ssl_params = optax.apply_updates(ssl_params, updates)
@@ -366,7 +369,11 @@ def swav_predict_from_features(ssl_params, features, hlen, nclasses,
     z = project_feature_maps(
         features, ssl_params["projection"][0]["weight"], hlen=hlen, interp=interp
     )
-    z = projection_tail(ssl_params, z, projn_nw, train=False)
+    # the reference never calls .eval() on the projection head, so its
+    # BatchNorm keeps using batch statistics at predict time; the stored
+    # running stats are never trained, so train=False would normalize with
+    # the init (0, 1) stats and mis-scale the 1/2-layer heads
+    z = projection_tail(ssl_params, z, projn_nw, train=True)
     return z
 
 

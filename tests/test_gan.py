@@ -270,3 +270,36 @@ def test_discriminator_q_heads():
     np.testing.assert_allclose(np.asarray(q_cat.sum(axis=-1)), 1.0, atol=1e-5)
     assert q_cont.shape == (4, 6)
     assert np.all(np.abs(np.asarray(q_cont)) <= 1.0)  # tanh-bounded
+
+
+def test_bagganhq_style_mixing_g_step(tmp_path):
+    """mixing_prob=1 exercises the 2-latent G step (crashed before the fix:
+    g_loss_fn dropped inject_index and generator_forward raised under jit)."""
+    import types
+
+    from ganecdotes_tpu.gan.train import BagGANHQ
+
+    cfg = types.SimpleNamespace(
+        out_dir=str(tmp_path), checkpoint_dir=str(tmp_path / "ckpt"),
+        is_train=True, image_size=32, latent_dim=64, num_channels=3,
+        batch_size=2, gan_mode="vanilla", use_ppl=False, r1_lambda=10,
+        ppl_lambda=2, path_batch_shrink=2, ppl_decay=0.01, d_reg_every=16,
+        g_reg_every=4, mixing_prob=1.0, chl_multiplier=1,
+        g_reg_ratio=4 / 5, d_reg_ratio=16 / 17, augment=False, augment_p=0,
+        ada_target=0.6, ada_length=100, lr=0.002, beta1=0.0,
+        lr_policy="linear",
+        lr_params=dict(epoch_count=1, n_epochs=2, n_epochs_decay=2),
+        generator_params=dict(mlp_layers=2),
+        losses_to_print=["g_gan", "d"],
+        start_epoch=1, continue_train=False, load_net=False,
+    )
+    gan = BagGANHQ(cfg)
+    gan.setup_gan()
+    real = jnp.asarray(
+        np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32) * 2 - 1
+    )
+    gan.set_input(data_sample={"ct": real}, iter_no=1, epoch_no=0)
+    assert gan.inject_index is not None
+    assert 1 <= gan.inject_index <= gan.gen_meta["n_latent"] - 1
+    gan.optimize_parameters()
+    assert np.isfinite(gan.get_current_losses()["d"])
