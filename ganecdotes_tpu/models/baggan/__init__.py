@@ -35,13 +35,25 @@ def load_baggan_generator(model_config, key=None, logger=None):
     cfg_path = getattr(model_config, "config_path", None)
     if cfg_path and os.path.exists(cfg_path):
         baggan_cfg = load_config(cfg_path, "baggan_config")
-        ckpts = sorted(
-            glob.glob(os.path.join(baggan_cfg.checkpoint_dir, "*_net_G.npz"))
+        ckpts = glob.glob(
+            os.path.join(baggan_cfg.checkpoint_dir, "*_net_G.npz")
         )
         if ckpts:
-            g.params = load_pytree(ckpts[-1])
+            # 'latest' wins; otherwise the numerically highest epoch
+            # (lexicographic sort would pick '9' over '10')
+            def rank(p):
+                stem = os.path.basename(p).split("_net_")[0]
+                if stem == "latest":
+                    return (2, 0)
+                try:
+                    return (1, int(stem))
+                except ValueError:
+                    return (0, 0)
+
+            best = max(ckpts, key=rank)
+            g.params = load_pytree(best)
             if logger:
-                logger.info(f"Loaded BagGAN generator: {ckpts[-1]}")
+                logger.info(f"Loaded BagGAN generator: {best}")
             return g
     if logger:
         logger.warning(

@@ -42,17 +42,29 @@ def _fused_act_pallas_impl(x, bias, negative_slope, scale):
     x2 = x.reshape(-1, c)
     b2 = jnp.broadcast_to(bias.astype(x.dtype), (1, c))
 
+    # tile rows so real activation sizes (e.g. 8×256²×128 ≈ 256 MB) never
+    # exceed VMEM; rows are padded up to the tile multiple and cropped after
+    rows = x2.shape[0]
+    tile = min(rows, max(8, (2 * 1024 * 1024) // max(c * x.dtype.itemsize, 1)))
+    pad = -rows % tile
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+
     y = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        grid=(x2.shape[0] // tile,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         # interpreter mode keeps the kernel testable on CPU meshes
         interpret=jax.default_backend() != "tpu",
     )(x2, b2)
+    if pad:
+        y = y[:rows]
     return y.reshape(orig_shape)
 
 

@@ -72,5 +72,10 @@ def resize_bilinear(x, size, align_corners=False):
         return x
     Rh = jnp.asarray(_bilinear_matrix(ih, h, align_corners)).astype(x.dtype)
     Rw = jnp.asarray(_bilinear_matrix(iw, w, align_corners)).astype(x.dtype)
-    t = jnp.einsum("oh,bhwc->bowc", Rh, x)
-    return jnp.einsum("pw,bowc->bopc", Rw, t)
+    # exact passes for fp32 (torch-parity); bf16 callers opted into speed
+    prec = (
+        jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    t = jnp.einsum("oh,bhwc->bowc", Rh, x, precision=prec)
+    return jnp.einsum("pw,bowc->bopc", Rw, t, precision=prec)

@@ -168,11 +168,19 @@ def _upfirdn2d_matmul(x, taps_y, taps_x, up, down, pad):
     Rh = jnp.asarray(_resample_matrix(h, taps_y, up_y, down_y, pad_y0, pad_y1))
     Rw = jnp.asarray(_resample_matrix(w, taps_x, up_x, down_x, pad_x0, pad_x1))
     dt = x.dtype
+    # fp32 inputs get exact (HIGHEST) MXU passes so converted torch
+    # checkpoints reproduce the same function (default precision drifts
+    # ~1e-2 per op and compounds across ~15 resampling ops per forward);
+    # bf16 inputs are already an explicit low-precision opt-in
+    prec = (
+        jax.lax.Precision.HIGHEST if dt == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     # rows pass: (O,H)·(B,H,W,C) -> (B,O,W,C); cols pass: (P,W)·... -> (B,O,P,C)
-    t = jnp.einsum("oh,bhwc->bowc", Rh.astype(dt), x, 
-                   preferred_element_type=dt)
-    y = jnp.einsum("pw,bowc->bopc", Rw.astype(dt), t, 
-                   preferred_element_type=dt)
+    t = jnp.einsum("oh,bhwc->bowc", Rh.astype(dt), x,
+                   preferred_element_type=dt, precision=prec)
+    y = jnp.einsum("pw,bowc->bopc", Rw.astype(dt), t,
+                   preferred_element_type=dt, precision=prec)
     return y
 
 

@@ -43,8 +43,12 @@ def _tiles(hp, wp, oy, ox, kh, itemsize, c):
     # per output row: double-buffered halo'd input + f32 row-pass + f32
     # col accumulator + double-buffered output block
     per_row = (2 * wp * itemsize + wp * 4 + ox * (4 + 2 * itemsize)) * ct
-    th = max(8, min(oy, (2 * _VMEM_BYTES) // max(per_row, 1)))
-    th = min(th, 512)
+    budget_rows = (2 * _VMEM_BYTES) // max(per_row, 1)
+    if budget_rows < 8:
+        # a row tile below 8 can't honor the VMEM budget — not eligible
+        # (flooring to 8 anyway would approve scratch far beyond VMEM)
+        return 0, 0
+    th = min(oy, budget_rows, 512)
     return th, ct
 
 

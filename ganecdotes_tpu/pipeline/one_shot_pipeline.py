@@ -289,6 +289,11 @@ class OneShotPipeline:
                 self.test_labels[ind : ind + 1].astype(np.int64)
             )
 
+            if input_latent is not None and self.mode != "online":
+                # the reference refuses fed latents outside online mode
+                # (one_shot_pipeline.py setup block); silently ignoring one
+                # would also leave the one-shot sample inside the test set
+                raise ValueError("Cannot feed input latents in offline mode!")
             if self.mode == "online" and input_latent is not None:
                 self.one_shot_latent = jnp.asarray(input_latent)
 
@@ -415,21 +420,21 @@ class OneShotPipeline:
             for name, lam in zip(tc.losses, lambdas)
         ]
         sched = config_mapper.lr_scheduler[tc.scheduler_type](**tc.scheduler_args)
+        stateful_sched = hasattr(sched, "step")
 
         size = self.seg_size
         is_mlp = self._seg_is_mlp
 
         if is_mlp:
-            state = self.segmentor_state
-
-            def apply_fn(params, x):
-                logits, _ = pixel_classifier_apply(params, state, x, train=True)
-                return logits
+            # thread the BatchNorm running stats through the scan so
+            # eval-mode inference normalizes with the trained statistics
+            def apply_fn(params, state, x):
+                return pixel_classifier_apply(params, state, x, train=True)
 
         else:
 
-            def apply_fn(params, x):
-                return one_shot_segmentor_apply(params, x, size)
+            def apply_fn(params, state, x):
+                return one_shot_segmentor_apply(params, x, size), state
 
         chunk = max(1, int(tc.print_freq))
         optimizer, run_chunk = make_supervised_finetune(
@@ -438,31 +443,34 @@ class OneShotPipeline:
             self.model_config.image_size,
             tc.lr,
             betas=(tc.beta1, tc.beta2),
-            lr_sched=sched if callable(sched) else None,
-            num_epochs=tc.num_epochs,
-            chunk=chunk,
+            lr_sched=None if stateful_sched else sched,
+            stateful_sched=stateful_sched,
         )
         opt_state = optimizer.init(self.segmentor_params)
 
         features = self.one_shot_train_features
         label = self.one_shot_label
+        state = self.segmentor_state if is_mlp else ()
 
         start = time.time()
         done = 0
         while done < tc.num_epochs:
-            self.segmentor_params, opt_state, loss = run_chunk(
-                self.segmentor_params, opt_state, features, label
+            n = min(chunk, tc.num_epochs - done)
+            self.segmentor_params, opt_state, state, loss = run_chunk(
+                self.segmentor_params, opt_state, state, features, label,
+                done, n,
             )
-            done += chunk
+            done += n
+            if stateful_sched:
+                # torch ReduceLROnPlateau semantics: step on the loss
+                mult = sched.step(float(loss))
+                opt_state.hyperparams["learning_rate"] = tc.lr * mult
             self.logger.info(
                 f"{done:5}-th epoch | loss: {float(loss):6.4f} | "
                 f"time: {time.time() - start:6.1f}sec"
             )
-        # eval-mode BN for the datasetgan head: refresh stats once
         if is_mlp:
-            _, self.segmentor_state = pixel_classifier_apply(
-                self.segmentor_params, self.segmentor_state, features, train=True
-            )
+            self.segmentor_state = state
         self.logger.info("******* Training Complete ********")
 
     # ------------------------------------------------------------------
@@ -487,31 +495,34 @@ class OneShotPipeline:
                 interp = pre.swav_args.get("hf_interp", "nearest")
                 projn = pre.swav_args["projn_nw"]
 
-                def embed(gen_params, feats):
+                def embed_one(feats):
                     return swav_predict_from_features(
                         ssl_params, feats, hlen, pre.nclasses, projn, interp
                     )
 
             else:
-                from ganecdotes_tpu.selfsup.simclr import simclr_projection
-                from ganecdotes_tpu.selfsup.swav import feature_norm_map
-                from ganecdotes_tpu.selfsup.embed import project_feature_maps
+                from ganecdotes_tpu.selfsup.simclr import (
+                    simclr_predict_from_features,
+                )
 
                 params = pre.params
                 hlen = pre.simclr_args["hlen"]
                 interp = pre.simclr_args.get("hf_interp", "nearest")
 
-                def embed(gen_params, feats):
-                    z = project_feature_maps(
-                        feats, params["lin1"]["weight"], hlen=hlen, interp=interp
+                def embed_one(feats):
+                    return simclr_predict_from_features(
+                        params, feats, hlen, interp
                     )
-                    z = z / jnp.maximum(
-                        feature_norm_map(feats, hlen)[..., None], 1e-12
-                    )
-                    b, h, w, c = z.shape
-                    return simclr_projection(params, z.reshape(-1, c)).reshape(
-                        b, h, w, -1
-                    )
+
+            # vmap over the batch so the projection heads' BatchNorm sees
+            # per-image statistics, exactly like the reference's
+            # MAX_TEST_BATCH=1 loop — batching must not couple samples (nor
+            # let the ragged-tail duplicate padding skew the stats)
+            def embed(gen_params, feats):
+                def one(fs):
+                    return embed_one([f[None] for f in fs])[0]
+
+                return jax.vmap(one)(feats)
 
         elif seg_str in ["repurposegan", "datasetgan"]:
             n_layers = self.seg_config.n_layers

@@ -147,6 +147,22 @@ def make_simclr_train_step(gen_meta, model_config, perturb_args, simclr_args,
     return optimizer, jax.jit(step)
 
 
+def simclr_predict_from_features(params, features, hlen, interp="nearest"):
+    """Projection scores at full resolution (ref simclr_clustering.py:365-404).
+
+    Per-pixel normalize → projection; level-decomposed: the first matmul
+    commutes with nearest upsample, the per-pixel norm is reconstructed
+    from the level-wise squared-norm maps. Returns (B, H, W, ncls) NHWC.
+    """
+    z = project_feature_maps(
+        features, params["lin1"]["weight"], hlen=hlen, interp=interp
+    )
+    norms = feature_norm_map(features, hlen)[..., None]
+    z = z / jnp.maximum(norms, 1e-12)
+    b, h, w, c = z.shape
+    return simclr_projection(params, z.reshape(-1, c)).reshape(b, h, w, -1)
+
+
 class SimCLRClustering:
     """Reference-API preprocessor (simclr_clustering.py:14-129)."""
 
@@ -223,12 +239,7 @@ class SimCLRClustering:
             save_pytree(self.params_file, self.params)
 
     def predict_simclr_codes(self, input_latent, input_is_latent=True):
-        """(scores (B, H, W, ncls) NHWC, labels) — ref :365-404.
-
-        Per-pixel normalize → projection; level-decomposed: the first matmul
-        commutes with nearest upsample, the per-pixel norm is reconstructed
-        from the level-wise squared-norm maps.
-        """
+        """(scores (B, H, W, ncls) NHWC, labels) — ref :365-404."""
         if input_latent.ndim == 1:
             input_latent = input_latent[None]
         _, feats = self.model(
@@ -238,16 +249,9 @@ class SimCLRClustering:
             input_is_latent=input_is_latent,
             randomize_noise=False,
         )
-        hlen = self.simclr_args["hlen"]
-        z = project_feature_maps(
-            feats, self.params["lin1"]["weight"], hlen=hlen,
+        scores = simclr_predict_from_features(
+            self.params, feats, self.simclr_args["hlen"],
             interp=self.simclr_args.get("hf_interp", "nearest"),
-        )
-        norms = feature_norm_map(feats, hlen)[..., None]
-        z = z / jnp.maximum(norms, 1e-12)
-        b, h, w, c = z.shape
-        scores = simclr_projection(self.params, z.reshape(-1, c)).reshape(
-            b, h, w, -1
         )
         labels = jnp.argmax(scores, axis=-1)
         return scores, labels
