@@ -5,6 +5,11 @@ CLI-compatible with the reference's evaluate.py:1-100.
 
 import argparse
 
+import matplotlib
+
+# headless CLI: metric/collage plots must never grab a display
+matplotlib.use("Agg")
+
 from ganecdotes_tpu.configs.mapper import resolve_method_alias
 from ganecdotes_tpu.pipeline.one_shot_pipeline import OneShotPipeline
 

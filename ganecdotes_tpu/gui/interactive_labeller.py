@@ -22,7 +22,7 @@ from ganecdotes_tpu.gui.labeller import OneShotLabellerGUI, visualize_label_mask
 class InteractiveLabellerGUI(OneShotLabellerGUI):
     def __init__(self, one_shot_learner, cmap="jet", block=None):
         self.one_shot_learner = one_shot_learner
-        self.num_outs = 8
+        self.num_outs = min(8, len(one_shot_learner.test_latents))
         self.out_latents = np.asarray(
             one_shot_learner.test_latents[: self.num_outs]
         )
@@ -121,8 +121,12 @@ class InteractiveLabellerGUI(OneShotLabellerGUI):
         latents = jnp.asarray(self.out_latents)
 
         if with_labels and learner.segmentor_params is not None:
-            infer = learner._make_infer_fn()
-            imgs, preds = infer(
+            # cache the jitted program — rebuilding it per refresh would
+            # recompile the whole generate→embed→segment graph on every
+            # button click; _update_or_train invalidates after retraining
+            if getattr(self, "_infer_cache", None) is None:
+                self._infer_cache = learner._make_infer_fn()
+            imgs, preds = self._infer_cache(
                 learner.model.params, learner.segmentor_params, latents
             )
             imgs, preds = np.asarray(imgs), np.asarray(preds)
@@ -161,6 +165,8 @@ class InteractiveLabellerGUI(OneShotLabellerGUI):
             self.get_labels().astype(np.int64)
         )
         self.one_shot_learner.run_pipeline(blocks_to_run=["train"])
+        # retraining may rebuild preprocessor state the program closed over
+        self._infer_cache = None
         self._refresh_grid(with_labels=True)
         self.status.label.set_text("Status: Labelling")
 

@@ -15,22 +15,10 @@ import copy
 
 import numpy as np
 
-
-def sample_label_colors(n=1):
-    from matplotlib.colors import hsv_to_rgb
-
-    h = np.linspace(0.0, 1.0, n)[:, np.newaxis]
-    s = np.ones((n, 1)) * 0.5
-    v = np.ones((n, 1)) * 1.0
-    return hsv_to_rgb(np.concatenate([h, s, v], axis=1))
-
-
-def visualize_label_mask(label, cmap):
-    label = np.asarray(label)
-    label_image = np.zeros((label.shape[0], label.shape[1], 3))
-    for c in range(1, len(cmap)):
-        label_image[label == c] = cmap[c]
-    return label_image
+from ganecdotes_tpu.utils.visualization import (  # noqa: F401 (re-export)
+    sample_label_colors,
+    visualize_label_mask,
+)
 
 
 class MaskPainter:

@@ -96,9 +96,6 @@ def get_iou_vs_pd_curve(iou_pd, classes, iou_inc=0.05):
 
 def plot_iou_vs_pd_curve(curves, classes, fname, expt_name):
     """Matplotlib plot matching the reference's styling (ref :166-195)."""
-    import matplotlib
-
-    matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     plt.figure()

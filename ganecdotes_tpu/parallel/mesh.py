@@ -23,6 +23,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices=None, axis="data"):
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"make_mesh: {n_devices} devices requested but only "
+                f"{len(devices)} available — silently truncating would "
+                "report a multi-chip validation that never ran"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 

@@ -83,6 +83,10 @@ def read_fits_data(input_file_name, field=0):
         header = {}
         done = False
         while not done:
+            if pos >= len(buf):
+                raise ValueError(
+                    f"{input_file_name}: truncated FITS header (no END card)"
+                )
             header_part, done = _parse_header(buf[pos : pos + _BLOCK])
             header.update(header_part)
             pos += _BLOCK

@@ -24,7 +24,13 @@ def _flatten(tree):
             for i, v in enumerate(node):
                 rec(v, f"{path}#{i}")
         else:
-            flat[f"leaf:{path}"] = np.asarray(node)
+            arr = np.asarray(node)
+            # numpy has no bfloat16: store the raw bits as uint16 with a
+            # dtype marker (a plain astype-to-void write would be unreadable)
+            if arr.dtype == jnp.bfloat16:
+                flat[f"__bf16__leaf:{path}"] = np.asarray([1])
+                arr = arr.view(np.uint16)
+            flat[f"leaf:{path}"] = arr
 
     rec(tree, "")
     return flat
@@ -41,7 +47,10 @@ def load_pytree(path):
         len_key = f"__len__{path_}"
         leaf_key = f"leaf:{path_}"
         if leaf_key in data:
-            return jnp.asarray(data[leaf_key])
+            arr = data[leaf_key]
+            if f"__bf16__{leaf_key}" in data:
+                arr = arr.view(jnp.bfloat16)
+            return jnp.asarray(arr)
         if len_key in data:
             n, is_tuple = int(data[len_key][0]), bool(data[len_key][1])
             items = [rec(f"{path_}#{i}") for i in range(n)]
@@ -50,6 +59,8 @@ def load_pytree(path):
         prefix = f"{path_}/" if path_ else ""
         children = set()
         for k in data:
+            if k.startswith("__bf16__"):
+                continue
             body = k.split(":", 1)[1] if k.startswith("leaf:") else k[len("__len__"):]
             if body.startswith(prefix) and len(body) > len(prefix):
                 rest = body[len(prefix):]

@@ -77,11 +77,26 @@ class ConfigLoader(object):
         self.config = load_config(config_path, config_name)
         self.parser = argparse.ArgumentParser(description=description)
 
+        def parse_bool(s):
+            # type=bool would make bool('False') == True; accept the usual
+            # spellings so bool flags can actually be turned off from the CLI
+            if isinstance(s, bool):
+                return s
+            if s.lower() in ("1", "true", "yes", "on"):
+                return True
+            if s.lower() in ("0", "false", "no", "off"):
+                return False
+            raise argparse.ArgumentTypeError(f"not a boolean: {s!r}")
+
         for key in dir(self.config):
             if key.startswith("__"):
                 continue
             val = getattr(self.config, key)
-            if isinstance(val, (int, float, str, bool)):
+            if isinstance(val, bool):
+                self.parser.add_argument(
+                    f"--{key}", default=val, type=parse_bool, required=False
+                )
+            elif isinstance(val, (int, float, str)):
                 self.parser.add_argument(
                     f"--{key}", default=val, type=type(val), required=False
                 )

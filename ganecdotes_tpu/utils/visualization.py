@@ -64,9 +64,6 @@ def create_pil_collage(images, fname=None, grid=None, return_im=False):
 def quick_imshow(nrows, ncols=1, images=None, colorbar=False, colormap="jet",
                  fname=None):
     """Grid of subplots (ref :73-157); returns the figure."""
-    import matplotlib
-
-    matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     fig, axes = plt.subplots(nrows, ncols, squeeze=False)

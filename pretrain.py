@@ -6,6 +6,11 @@ model/method choices, same alias rules), running the TPU-native pipeline.
 
 import argparse
 
+import matplotlib
+
+# headless CLI: metric/collage plots must never grab a display
+matplotlib.use("Agg")
+
 from ganecdotes_tpu.configs.mapper import resolve_method_alias
 from ganecdotes_tpu.pipeline.one_shot_pipeline import OneShotPipeline
 

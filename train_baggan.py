@@ -38,8 +38,15 @@ def main():
 
     cfg = load_config(args.config, "baggan_config")
     if args.out_dir:
+        # re-derive every out_dir-relative path the config computed at import
         cfg.out_dir = args.out_dir
         cfg.checkpoint_dir = os.path.join(args.out_dir, "checkpoints")
+        cfg.training_log_path = os.path.join(
+            args.out_dir, time.strftime("train_%m%d%Y_%H%M%S.log")
+        )
+        cfg.snap_dir = os.path.join(args.out_dir, "training_snaps")
+        cfg.losses_file = os.path.join(args.out_dir, "training_losses.npz")
+        os.makedirs(args.out_dir, exist_ok=True)
     n_epochs = args.epochs or getattr(cfg, "n_epochs", 10)
     size = cfg.image_size
     chans = getattr(cfg, "num_channels", 3)
@@ -90,6 +97,18 @@ def main():
             f"epoch {epoch} | {loss_str} | ada_p={gan.ada_aug_p:.3f} "
             f"| {time.time() - t0:.1f}s"
         )
+        if loader is not None and loader.decode_errors:
+            total = loader.batches_produced * cfg.batch_size
+            gan.logger.error(
+                f"data loader: {loader.decode_errors}/{total} samples failed "
+                f"to decode (wrong shape/dtype? expected "
+                f"({size},{size},{chans})) — they train as zeros"
+            )
+            if loader.decode_errors >= total:
+                raise SystemExit(
+                    "every sample failed to decode; refusing to train on "
+                    "all-zero batches"
+                )
         if epoch % args.save_every == 0:
             gan.save_networks("latest")
             gan.save_networks(str(epoch))
