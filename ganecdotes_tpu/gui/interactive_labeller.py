@@ -126,9 +126,10 @@ class InteractiveLabellerGUI(OneShotLabellerGUI):
             # button click; _update_or_train invalidates after retraining
             if getattr(self, "_infer_cache", None) is None:
                 self._infer_cache = learner._make_infer_fn()
-            imgs, preds = self._infer_cache(
+            out = self._infer_cache(
                 learner.model.params, learner.segmentor_params, latents
             )
+            imgs, preds = out[0], out[1]  # ssl methods add cluster labels
             imgs, preds = np.asarray(imgs), np.asarray(preds)
         else:
             imgs = np.asarray(learner.get_image_from_latent(latents))

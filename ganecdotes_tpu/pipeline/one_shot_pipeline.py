@@ -531,20 +531,65 @@ class OneShotPipeline:
                 return pixel_feature_maps(feats, n_layers=n_layers)
 
         elif seg_str == "hfc_kmeans":
-            embed = None  # host-orchestrated (beliefs / per-layer clusterers)
+            # centers and beliefs are device arrays once loaded, so the whole
+            # generate→cluster-assign→encode→segment path is one jitted
+            # program, same as the other methods (ref host-orchestrates this,
+            # baseline/hfc_kmeans/segmentor.py:169-230)
+            from ganecdotes_tpu.selfsup.augmentor import group_features_by_block
+            from ganecdotes_tpu.selfsup.kmeans import hfc_predict_from_features
 
-        if seg_str == "hfc_kmeans":
+            pre = self.preprocessor
+            pre.ensure_loaded()
+            if pre.hier_encode and pre.trained_beliefs is None:
+                # beliefs not trained/saved yet: keep the host-orchestrated
+                # path, which estimates them per batch
+                def infer(gen_params, seg_params, latents):
+                    feats, _ = pre.predict_hfc_vectors(latents)
+                    logits = one_shot_segmentor_apply(
+                        seg_params, feats, seg_size
+                    )
+                    img = self.get_image_from_latent(latents)
+                    return img, jnp.argmax(logits, axis=-1)
 
+                return infer
+            n_layers = pre.perturb_config["n_layers"]
+            centers = [jnp.asarray(c) for c in pre.hfc_model.centers[:n_layers]]
+            cpl = list(pre.hfc_model.clusters_per_layer)
+            out_size = pre.hfc_model.out_size
+            hier = pre.hier_encode
+            beliefs = pre.trained_beliefs
+            p_trunc = pre.perturb_config["truncation"]
+            n_latent = meta["n_latent"]
+
+            @jax.jit
             def infer(gen_params, seg_params, latents):
-                feats, _ = self.preprocessor.predict_hfc_vectors(latents)
-                logits = one_shot_segmentor_apply(seg_params, feats, seg_size)
-                img = self.get_image_from_latent(latents)
+                # replicate HFCPreprocessor._w_plus + _grouped_features
+                w = mean_latent + p_trunc * (latents - mean_latent)
+                w_plus = jnp.repeat(w[:, None, :], n_latent, axis=1)
+                _, feats = generator_forward(
+                    gen_params, meta, [w_plus], input_is_latent=True,
+                    truncation=p_trunc, truncation_latent=mean_latent,
+                    randomize_noise=False,
+                )
+                groups = group_features_by_block(feats, skip_const=True)
+                z, _ = hfc_predict_from_features(
+                    groups[:n_layers], centers, cpl, out_size, hier, beliefs
+                )
+                logits = one_shot_segmentor_apply(seg_params, z, seg_size)
+                # the displayed image uses the model config's truncation,
+                # exactly like get_image_from_latent
+                img, _ = generator_forward(
+                    gen_params, meta, [latents], input_is_latent=True,
+                    truncation=truncation, truncation_latent=mean_latent,
+                    randomize_noise=False,
+                )
                 return img, jnp.argmax(logits, axis=-1)
 
             return infer
 
         is_mlp = self._seg_is_mlp
         state = self.segmentor_state if is_mlp else None
+        is_ssl = "hfc_with_swav" in seg_str or seg_str == "hfc_with_simclr"
 
         @jax.jit
         def infer(gen_params, seg_params, latents):
@@ -560,9 +605,72 @@ class OneShotPipeline:
                 )
             else:
                 logits = one_shot_segmentor_apply(seg_params, z, seg_size)
-            return img, jnp.argmax(logits, axis=-1)
+            pred = jnp.argmax(logits, axis=-1)
+            if is_ssl:
+                # hard cluster assignments, the reference's out_labels
+                # (swav_clustering.py:659-693) — logged per test batch
+                return img, pred, jnp.argmax(z, axis=-1)
+            return img, pred
 
         return infer
+
+    def _save_test_pred_figure(self, img01, cluster01, bs):
+        """Cluster-map + image side-by-side figure (ref :647-656)."""
+        import matplotlib
+
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        plt.figure()
+        plt.subplot(121)
+        plt.imshow(cluster01, cmap="jet")
+        plt.subplot(122)
+        plt.imshow(np.clip(img01 * 0.5 + 0.5, 0, 1))
+        plt.savefig(os.path.join(self.out_dir, f"test_pred_{bs}.png"))
+        plt.close()
+
+    def _save_demo_collage(self, ims):
+        """tester='demo': one-shot sample + all test predictions in one
+        2×(n+1) grid (ref :834-879)."""
+        size = self.model_config.image_size
+        input_im = np.asarray(
+            resize_nearest(
+                jnp.asarray(
+                    self.get_image_from_latent(self.one_shot_latent[None])
+                ),
+                size,
+            )
+        )[0]
+        disp = np.clip(input_im, -1, 1)
+        disp_in = np.uint8(
+            (disp - disp.min()) / (disp.max() - disp.min() + 1e-12) * 255
+        )
+        one_shot_mask = np.asarray(
+            resize_nearest(
+                jnp.asarray(self.one_shot_label)[..., None].astype(jnp.float32),
+                size,
+            )
+        )[0, :, :, 0].astype(np.int64)
+        mask_in = np.uint8(
+            visualize_label_mask(one_shot_mask, self.color_map) * 255
+        )
+
+        row_ims, row_preds = [], []
+        for im, pred in zip(ims[0], ims[2]):
+            im = np.clip(im, -1, 1)
+            row_ims.append(
+                np.uint8((im - im.min()) / (im.max() - im.min() + 1e-12) * 255)
+            )
+            row_preds.append(
+                np.uint8(visualize_label_mask(pred, self.color_map) * 255)
+            )
+
+        n = len(row_ims)
+        create_pil_collage(
+            [disp_in] + row_ims + [mask_in] + row_preds,
+            os.path.join(self.test_dir, "demo.png"),
+            (2, n + 1),
+        )
 
     def run_tests(self):
         """Batched test block + metrics (ref :595-885)."""
@@ -571,25 +679,65 @@ class OneShotPipeline:
         os.makedirs(self.test_img_dir, exist_ok=True)
 
         infer = self._make_infer_fn()
+        is_ssl = (
+            "hfc_with_swav" in self.seg_str or self.seg_str == "hfc_with_simclr"
+        )
+
+        # multi-chip: shard the test batch over the mesh's data axis with
+        # replicated params, so data-parallel inference is THE pipeline code
+        # path (SURVEY §2 parallelism inventory), not a separate one. The
+        # per-step batch is device_count × per-device chunk.
+        batch = MAX_TEST_BATCH
+        n_dev = jax.device_count()
+        if n_dev > 1 and hasattr(infer, "lower"):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ganecdotes_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+            repl = NamedSharding(mesh, P())
+            shard = NamedSharding(mesh, P("data"))
+            infer = jax.jit(
+                infer, in_shardings=(repl, repl, shard), out_shardings=shard
+            )
+            batch = n_dev * max(1, MAX_TEST_BATCH // n_dev)
 
         pred_labels = []
         test_images = []
         inference_times = []
         n = self.num_test_samples
-        for bs in range(0, n, MAX_TEST_BATCH):
+        for bs in range(0, n, batch):
             t0 = time.time()
-            chunk_lat = self.test_latents[bs : bs + MAX_TEST_BATCH]
-            pad = MAX_TEST_BATCH - chunk_lat.shape[0]
+            chunk_lat = self.test_latents[bs : bs + batch]
+            pad = batch - chunk_lat.shape[0]
             if pad > 0:  # pad the ragged tail so one compilation serves all
                 chunk_lat = np.concatenate(
                     [chunk_lat, np.repeat(chunk_lat[-1:], pad, axis=0)], 0
                 )
             latents = jnp.asarray(chunk_lat)
-            img, pred = infer(self.model.params, self.segmentor_params, latents)
+            out = infer(self.model.params, self.segmentor_params, latents)
+            img, pred = out[0], out[1]
             pred = jax.block_until_ready(pred)
             inference_times.append(time.time() - t0)
             pred_labels.append(np.asarray(pred))
             test_images.append(np.asarray(img))
+
+            # per-batch artifacts, as the reference's test loop (:636-668):
+            # cluster-map figure + TensorBoard images
+            img0 = np.asarray(img[0], dtype=np.float32)
+            img0 = img0 / max(float(np.abs(img0).max()), 1e-12)
+            if is_ssl:
+                cluster0 = np.asarray(out[2][0], dtype=np.float32)
+                cluster0 = cluster0 / max(float(cluster0.max()), 1e-12)
+                self._save_test_pred_figure(img0, cluster0, bs)
+                self.summary_writer.add_image(
+                    "one_shot/test_image", np.clip(img0 * 0.5 + 0.5, 0, 1)
+                )
+                self.summary_writer.add_image("one_shot/swav_output", cluster0)
+            pred0 = np.asarray(pred[0], dtype=np.float32)
+            self.summary_writer.add_image(
+                "one_shot/predictions", pred0 / max(float(pred0.max()), 1.0)
+            )
 
         pred_labels = np.concatenate(pred_labels, axis=0)[:n]
         test_images = np.concatenate(test_images, axis=0)[:n]
@@ -621,23 +769,44 @@ class OneShotPipeline:
             )[0, :, :, 0].astype(np.int64)
 
             disp_im = np.clip(input_im, -1, 1)
+            disp8 = np.uint8(
+                (disp_im - disp_im.min())
+                / (disp_im.max() - disp_im.min() + 1e-12) * 255
+            )
             create_pil_collage(
                 [
-                    np.uint8(
-                        (disp_im - disp_im.min())
-                        / (disp_im.max() - disp_im.min() + 1e-12) * 255
-                    ),
+                    disp8,
                     np.uint8(visualize_label_mask(gt_mask, self.color_map) * 255),
                     np.uint8(visualize_label_mask(pred_mask, self.color_map) * 255),
                 ],
                 os.path.join(self.test_img_dir, f"sample_{i}_pred.png"),
+            )
+            # foreground-only collage (ref :711-726)
+            create_pil_collage(
+                [
+                    disp8,
+                    np.uint8(
+                        visualize_label_mask(
+                            (gt_mask > 0).astype(np.int64), self.color_map
+                        ) * 255
+                    ),
+                    np.uint8(
+                        visualize_label_mask(
+                            (pred_mask > 0).astype(np.int64), self.color_map
+                        ) * 255
+                    ),
+                ],
+                os.path.join(self.test_img_dir, f"sample_{i}_pred_fg.png"),
             )
 
             ims[0].append(input_im)
             ims[1].append(gt_mask)
             ims[2].append(pred_mask)
 
-            if self.test_str in ["iou", "all"]:
+            # 'iou_vs_pd' needs the per-class IoU table too (the reference
+            # gates it on ['iou_vs_pd','all'] at :808 but forgets to build
+            # mask_iou_pd outside 'iou'/'all' — intended semantics here)
+            if self.test_str in ["iou", "all", "iou_vs_pd"]:
                 mask_iou = {
                     c: get_mask_iou(gt_mask, pred_mask, k)
                     for k, c in enumerate(classes)
@@ -662,7 +831,7 @@ class OneShotPipeline:
                      for k, c in enumerate(classes)}
                 )
 
-        if self.test_str in ["iou", "all"]:
+        if self.test_str in ["iou", "all", "iou_vs_pd"]:
             import pandas as pd
 
             mask_iou_pd = pd.DataFrame(
@@ -675,21 +844,36 @@ class OneShotPipeline:
                 data=np.array([[s[k] for k in classes] for s in results["bb_iou"]]),
                 columns=classes,
             )
-            mask_iou_pd.to_csv(os.path.join(self.test_dir, "mask_iou_results.csv"))
-            bb_iou_pd.to_csv(os.path.join(self.test_dir, "bb_iou_results.csv"))
+            if self.test_str in ["iou", "all"]:
+                mask_iou_pd.to_csv(
+                    os.path.join(self.test_dir, "mask_iou_results.csv")
+                )
+                bb_iou_pd.to_csv(
+                    os.path.join(self.test_dir, "bb_iou_results.csv")
+                )
 
-            self.logger.info(
-                "\nMask IoU Results:\n" + str(mask_iou_pd.mean(axis=0))
-            )
-            self.mean_mask_iou = float(mask_iou_pd.mean(axis=0).mean())
-            self.logger.info(f"\nMean Mask IoU:\n{self.mean_mask_iou}")
-            self.logger.info(
-                f"\nWeighted IoU Results:\n{np.mean(results['w_iou'])}"
-            )
-            self.logger.info(f"FG IoU: {results['bin_iou']}")
+                self.logger.info(
+                    "\nMask IoU Results:\n" + str(mask_iou_pd.mean(axis=0))
+                )
+                self.mean_mask_iou = float(mask_iou_pd.mean(axis=0).mean())
+                self.logger.info(f"\nMean Mask IoU:\n{self.mean_mask_iou}")
+                self.logger.info(
+                    f"\nWeighted IoU Results:\n{np.mean(results['w_iou'])}"
+                )
+                self.logger.info(f"FG IoU: {results['bin_iou']}")
 
+        self.mean_inference_time = float(np.mean(inference_times))
+        self.logger.info(f"Mean Inference Time: {self.mean_inference_time}")
+
+        if self.test_str in ["iou_vs_pd", "all"]:
             pd_scores = get_pd_at_iou_threshold(mask_iou_pd, classes, 0.5)
             results["pd"] = pd_scores
+            self.logger.info("Mean PD at IoU=0.5:")
+            for k, v in pd_scores.items():
+                self.logger.info(f"{k}: \t{v}")
+            self.logger.info(
+                f"Mean PD:{np.mean([v for v in pd_scores.values()])}"
+            )
             curve = get_iou_vs_pd_curve(mask_iou_pd, classes)
             results["iou_pd_curve"] = curve
             plot_iou_vs_pd_curve(
@@ -698,8 +882,8 @@ class OneShotPipeline:
                 self.model_str,
             )
 
-        self.mean_inference_time = float(np.mean(inference_times))
-        self.logger.info(f"Mean Inference Time: {self.mean_inference_time}")
+        if self.test_str == "demo":
+            self._save_demo_collage(ims)
 
         np.savez_compressed(
             os.path.join(self.test_dir, "results.npz"),
@@ -733,5 +917,8 @@ class _TensorBoardShim:
             self._writer.add_scalar(tag, value, step)
 
     def add_image(self, tag, img, step=None):
+        self.records.setdefault(tag, []).append((step, np.asarray(img).shape))
         if self._writer:
-            self._writer.add_image(tag, img, step)
+            img = np.asarray(img)
+            fmt = "HW" if img.ndim == 2 else ("HWC" if img.shape[-1] in (1, 3) else "CHW")
+            self._writer.add_image(tag, img, step, dataformats=fmt)

@@ -179,21 +179,25 @@ class BaseHFCModel:
             stds=np.asarray([s if s is not None else 0 for s in self.stds]),
         )
 
+    def ensure_centers(self):
+        """Lazy-load presaved clusterers (friendlier than the reference,
+        which requires presaved=True at construction)."""
+        if not any(c is None for c in self.centers):
+            return
+        if all(os.path.exists(fp) for fp in self.model_fpaths):
+            self.centers = [
+                jnp.asarray(np.load(fp)["centers"]) for fp in self.model_fpaths
+            ]
+        else:
+            raise FileNotFoundError(
+                "Models not found - use BaseHFCModel.fit() to create "
+                "model first!"
+            )
+
     def predict(self, hidden_feat):
         """-> (cluster one-hot maps (B, out, out, Σk), per-layer label maps)."""
         assert len(hidden_feat) == self.n_layer
-        if any(c is None for c in self.centers):
-            # lazy-load presaved clusterers (friendlier than the reference,
-            # which requires presaved=True at construction)
-            if all(os.path.exists(fp) for fp in self.model_fpaths):
-                self.centers = [
-                    jnp.asarray(np.load(fp)["centers"]) for fp in self.model_fpaths
-                ]
-            else:
-                raise FileNotFoundError(
-                    "Models not found - use BaseHFCModel.fit() to create "
-                    "model first!"
-                )
+        self.ensure_centers()
         cluster_maps, cluster_labels = [], []
         for n in range(self.n_layer):
             labels, maps = self._layerwise_predict(hidden_feat[n], n)
@@ -407,6 +411,46 @@ def hierarchical_label_encoding(im_labels, one_hot_label, clusters_per_layer,
     return out_labels, out_preds, beliefs
 
 
+def hfc_predict_from_features(groups, centers, clusters_per_layer, out_size,
+                              hier_encode=True, beliefs=None):
+    """Pure jittable HFC inference: grouped features -> (features, labels).
+
+    Functional core of the reference's predict_hfc_vectors
+    (baseline/hfc_kmeans/segmentor.py:169-230): per-layer kmeans assignment,
+    one-hot cluster maps resized to out_size, optional belief-matrix
+    hierarchical encoding. With ``centers`` and ``beliefs`` passed as arrays
+    this composes under jit, so the pipeline's generate→embed→segment program
+    stays one device program for hfc_kmeans too.
+    """
+    cluster_maps, cluster_labels = [], []
+    for n, (feat, c) in enumerate(zip(groups, centers)):
+        b, h, w, _ = feat.shape
+        labels = kmeans_predict(feat.reshape(-1, feat.shape[-1]), c)
+        labels = labels.reshape(b, h, w)
+        onehot = resize_nearest(
+            jax.nn.one_hot(labels, clusters_per_layer[n]),
+            (out_size, out_size),
+        )
+        cluster_maps.append(onehot)
+        cluster_labels.append(labels[:, None, :, :])
+    out_preds = jnp.concatenate(cluster_maps, axis=-1)
+
+    if hier_encode:
+        if beliefs is None:
+            raise ValueError(
+                "hfc_predict_from_features: hier_encode requires trained "
+                "belief matrices (fit-time estimation is host-side)"
+            )
+        k_last = clusters_per_layer[len(groups) - 1]
+        hier_labels, hier_preds, _ = hierarchical_label_encoding(
+            cluster_labels, out_preds[..., -k_last:], clusters_per_layer,
+            beliefs,
+        )
+        return jnp.concatenate(hier_preds[::-1], axis=-1) * 2 - 1, hier_labels
+
+    return out_preds * 2 - 1, cluster_labels
+
+
 # ---------------------------------------------------------------------------
 # preprocessor (reference-API-compatible)
 # ---------------------------------------------------------------------------
@@ -501,31 +545,46 @@ class HFCPreprocessor:
     def _log(self, msg):
         (self.logger.info if self.logger else print)(msg)
 
-    def predict_hfc_vectors(self, input_latent):
-        """(features (B, out, out, C) in [-1, 1], labels) — ref :169-230."""
-        w_plus = self._w_plus(input_latent)
-        groups = self._grouped_features(w_plus)
-        n_layers = self.perturb_config["n_layers"]
-        out_preds, out_labels = self.hfc_model.predict(groups[:n_layers])
-
-        if not self.train and self.hier_encode and self.trained_beliefs is None:
+    def ensure_loaded(self):
+        """Materialize centers + beliefs so inference is pure array math."""
+        self.hfc_model.ensure_centers()
+        if self.hier_encode and self.trained_beliefs is None and not self.train:
             data = np.load(self.belief_file, allow_pickle=False)
             self.trained_beliefs = [
                 jnp.asarray(data[f]) for f in sorted(data.files)
             ]
 
-        if self.hier_encode:
+    def predict_hfc_vectors(self, input_latent):
+        """(features (B, out, out, C) in [-1, 1], labels) — ref :169-230."""
+        w_plus = self._w_plus(input_latent)
+        groups = self._grouped_features(w_plus)
+        n_layers = self.perturb_config["n_layers"]
+        self.ensure_loaded()
+
+        if self.hier_encode and self.trained_beliefs is None:
+            # train-mode fallback: estimate beliefs from this sample alone
+            # (host-side regionprops-equivalent path)
+            out_preds, out_labels = self.hfc_model.predict(groups[:n_layers])
             k_last = self.hfc_model.clusters_per_layer[-1]
             hier_labels, hier_preds, _ = hierarchical_label_encoding(
                 out_labels,
                 out_preds[..., -k_last:],
                 self.hfc_model.clusters_per_layer,
-                self.trained_beliefs,
+                None,
             )
-            hier_preds = jnp.concatenate(hier_preds[::-1], axis=-1)
-            return hier_preds * 2 - 1, hier_labels
+            return (
+                jnp.concatenate(hier_preds[::-1], axis=-1) * 2 - 1,
+                hier_labels,
+            )
 
-        return out_preds * 2 - 1, out_labels
+        return hfc_predict_from_features(
+            groups[:n_layers],
+            self.hfc_model.centers[:n_layers],
+            self.hfc_model.clusters_per_layer,
+            self.hfc_model.out_size,
+            self.hier_encode,
+            self.trained_beliefs,
+        )
 
     def multi_sample_hierarchical_encoding(self, n_samples, n_layers):
         """Belief matrices averaged over unlabeled samples (ref :482-545)."""

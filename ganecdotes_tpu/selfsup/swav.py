@@ -70,6 +70,57 @@ def init_swav_params(key, hlen, nclasses, nprototypes, projn_nw="linear"):
     return {"projection": projection, "prototype": prototype}
 
 
+def import_torch_swav_modules(prototypes_path, projection_path, projn_nw):
+    """Reference SwAV checkpoints -> ssl_params pytree.
+
+    The reference persists whole ``nn`` modules via
+    ``torch.save(self.prototype/self.projection)`` as ``prototypes.pt`` /
+    ``projection.pt`` (swav_clustering.py:79-89,503-505). Accepts either the
+    pickled modules or bare state_dicts; torch Linear (out,in) weights are
+    transposed to (in,out)."""
+    import torch
+
+    def _sd(path):
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+        return {k: np.asarray(v.detach().cpu(), dtype=np.float32)
+                for k, v in sd.items()}
+
+    proj_sd = _sd(projection_path)
+    proto_sd = _sd(prototypes_path)
+
+    def _lin(sd, prefix, bias):
+        p = {"weight": jnp.asarray(sd[f"{prefix}weight"].T)}
+        if bias:
+            p["bias"] = jnp.asarray(sd[f"{prefix}bias"])
+        return p
+
+    def _bn(sd, prefix):
+        return {
+            "gamma": jnp.asarray(sd[f"{prefix}weight"]),
+            "beta": jnp.asarray(sd[f"{prefix}bias"]),
+            "mean": jnp.asarray(sd[f"{prefix}running_mean"]),
+            "var": jnp.asarray(sd[f"{prefix}running_var"]),
+        }
+
+    if projn_nw in ("linear", "1-layer"):
+        # bare-Linear saves have no Sequential index prefix
+        prefix = "0." if "0.weight" in proj_sd else ""
+        projection = [_lin(proj_sd, prefix, bias=False)]
+    elif projn_nw == "2-layer":
+        projection = [
+            _lin(proj_sd, "0.", bias=False),
+            _bn(proj_sd, "1."),
+            _lin(proj_sd, "3.", bias=False),
+            _bn(proj_sd, "4."),
+        ]
+    else:
+        raise ValueError(f"unknown projn_nw {projn_nw}")
+
+    prototype = _lin(proto_sd, "", bias="bias" in proto_sd)
+    return {"projection": projection, "prototype": prototype}
+
+
 def projection_tail(params, z, projn_nw, train=True, eps=1e-5):
     """Everything after the (level-decomposed) first linear layer.
 
@@ -389,8 +440,10 @@ class SwAVClustering:
 
     def __init__(self, model, model_config, perturb_args, swav_args,
                  sinkhorn_args, logger=None, train=True, out_dir=None,
-                 device=None, tb=None, layer_hf_dim=None, seed=42):
+                 device=None, tb=None, layer_hf_dim=None, seed=42,
+                 num_test_samples=5):
         del device
+        self.num_test_samples = num_test_samples
         self.model = model
         self.model_config = model_config
         self.perturb_args = perturb_args
@@ -421,6 +474,20 @@ class SwAVClustering:
         self.ssl_params = None
         if not self.train and self.params_file and os.path.exists(self.params_file):
             self.ssl_params = load_pytree(self.params_file)
+        elif not self.train and out_dir is not None and os.path.exists(
+            os.path.join(out_dir, "prototypes.pt")
+        ):
+            # reference-format artifacts (torch.save'd modules, ref :79-89)
+            self.ssl_params = import_torch_swav_modules(
+                os.path.join(out_dir, "prototypes.pt"),
+                os.path.join(out_dir, "projection.pt"),
+                swav_args["projn_nw"],
+            )
+            if self.logger:
+                self.logger.info(
+                    "Imported reference SwAV modules (prototypes.pt/"
+                    "projection.pt)"
+                )
         elif not self.train and self.logger:
             self.logger.info("SwAV params not found - pretraining ...")
 
@@ -458,6 +525,21 @@ class SwAVClustering:
 
         import time as _time
 
+        plot = bool(sa.get("plot_test_images", False))
+        if plot:
+            # fixed test latents plotted each epoch (ref :224-240; the
+            # reference's plotting block crashes on an undefined `grid` at
+            # :488 — intended semantics implemented here)
+            self.key, kt = jax.random.split(self.key)
+            test_z = jax.random.normal(
+                kt, (self.num_test_samples, self.model_config.latent_dim)
+            )
+            test_imgs, _ = self.model(
+                [test_z], truncation=self.truncation,
+                truncation_latent=self.mean_latent, randomize_noise=False,
+            )
+            test_imgs = np.clip(np.asarray(test_imgs) * 0.5 + 0.5, 0, 1)
+
         t0 = _time.time()
         num_epochs, num_samples = sa["num_epochs"], sa["num_samples"]
         it = 0
@@ -475,11 +557,45 @@ class SwAVClustering:
                 )
             if self.writer is not None:
                 self.writer.add_scalar("swav/loss", float(loss), e)
+            if plot:
+                self._plot_epoch_predictions(test_z, test_imgs, e)
 
         if self.logger:
             self.logger.info("Finished pretraining - Saving swav params")
         if self.params_file:
             save_pytree(self.params_file, self.ssl_params)
+
+    def _plot_epoch_predictions(self, test_z, test_imgs, e):
+        """Per-epoch prediction grid (intended semantics of ref :467-501):
+        one column per test sample; rows = image, hard-label map, then the
+        first max_masks per-class score maps."""
+        import matplotlib
+
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        from ganecdotes_tpu.utils.visualization import quick_imshow
+
+        sa = self.swav_args
+        np_masks = min(self.nclasses, int(sa.get("max_masks", 4)))
+        preds, labels = self.predict_swav_codes(test_z, input_is_latent=False)
+        preds = np.asarray(preds)
+        labels = np.asarray(labels, dtype=np.float32)
+        labels = labels / max(float(labels.max()), 1.0)
+
+        n = test_z.shape[0]
+        ims = [test_imgs[i] for i in range(n)]
+        ims += [labels[i] for i in range(n)]
+        for m in range(np_masks):
+            ims += [preds[i, :, :, m] for i in range(n)]
+
+        fig = quick_imshow(
+            np_masks + 2, n, ims, colorbar=False, colormap="gray",
+            fname=os.path.join(self.out_dir, "swav", f"test_epoch_{e}.png"),
+        )
+        plt.close(fig)
+        if self.writer is not None:
+            self.writer.add_image("swav/test_image", labels[0], e)
 
     def predict_swav_codes(self, input_latent, input_is_latent=True):
         """(out_preds NHWC scores, out_labels) for a latent (ref :659-693)."""

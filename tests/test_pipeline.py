@@ -152,30 +152,36 @@ def _run(tmp_path, tiny_configs, method, seg_key):
     return pipe
 
 
+@pytest.mark.slow
 def test_pipeline_repurposegan(tmp_path, tiny_configs):
     _run(tmp_path, tiny_configs, "repurposegan", "rp")
 
 
+@pytest.mark.slow
 def test_pipeline_datasetgan(tmp_path, tiny_configs):
     _run(tmp_path, tiny_configs, "datasetgan", "dg")
 
 
+@pytest.mark.slow
 def test_pipeline_hfc_kmeans(tmp_path, tiny_configs):
     pipe = _run(tmp_path, tiny_configs, "hfc_kmeans", "kmeans")
     # clusterer checkpoints persisted in the reference layout
     assert os.path.exists(os.path.join(pipe.out_dir, "clusterer_layer_0.npz"))
 
 
+@pytest.mark.slow
 def test_pipeline_hfc_with_swav(tmp_path, tiny_configs):
     pipe = _run(tmp_path, tiny_configs, "hfc_with_swav", "swav")
     assert os.path.exists(os.path.join(pipe.out_dir, "swav_params.npz"))
 
 
+@pytest.mark.slow
 def test_pipeline_hfc_with_simclr(tmp_path, tiny_configs):
     pipe = _run(tmp_path, tiny_configs, "hfc_with_simclr", "simclr")
     assert os.path.exists(os.path.join(pipe.out_dir, "simclr_params.npz"))
 
 
+@pytest.mark.slow
 def test_swav_presaved_reload(tmp_path, tiny_configs):
     """evaluate.py semantics: train once, reload without retraining."""
     from ganecdotes_tpu.pipeline.one_shot_pipeline import OneShotPipeline
@@ -238,3 +244,73 @@ def test_legacy_hierarchical_kmeans(tmp_path):
     s = np.asarray(maps).reshape(-1, 7)
     np.testing.assert_allclose(s[:, :3].sum(-1), 1.0)  # one-hot per layer
     np.testing.assert_allclose(s[:, 3:].sum(-1), 1.0)
+
+
+@pytest.mark.slow
+def test_tester_iou_vs_pd_and_demo(tmp_path, tiny_configs):
+    """Branch parity for tester strings the reference dead-ends
+    (src/one_shot_pipeline.py:808,834)."""
+    from ganecdotes_tpu.pipeline.one_shot_pipeline import OneShotPipeline
+
+    out = str(tmp_path / "out_testers")
+    pipe = OneShotPipeline(
+        out_dir=out, model="ffhq-256", segmentor="repurposegan",
+        tester="iou_vs_pd", num_test_samples=2,
+        custom={"model": tiny_configs["model"],
+                "trainer": tiny_configs["trainer"],
+                "seg": tiny_configs["rp"]},
+    )
+    pipe.run_pipeline()
+    # iou_vs_pd: curve + PD scores, but no iou CSV tables
+    assert os.path.exists(os.path.join(out, "tests", "iou_vs_pd_curve.png"))
+    res = np.load(os.path.join(out, "tests", "results.npz"),
+                  allow_pickle=True)
+    assert "pd" in res.files and "iou_pd_curve" in res.files
+    assert not os.path.exists(
+        os.path.join(out, "tests", "mask_iou_results.csv")
+    )
+    # predictions logged to the TB shim each batch
+    assert "one_shot/predictions" in pipe.summary_writer.records
+
+    pipe.test_str = "demo"
+    pipe.run_tests()
+    assert os.path.exists(os.path.join(out, "tests", "demo.png"))
+
+
+@pytest.mark.slow
+def test_swav_plot_test_images(tmp_path):
+    """plot_test_images renders a per-epoch prediction grid (intended
+    semantics of ref swav_clustering.py:467-501, which crashes there)."""
+    import jax
+
+    from ganecdotes_tpu.models.stylegan2.generator import Generator
+    from ganecdotes_tpu.selfsup.swav import SwAVClustering
+
+    class _MC:
+        truncation = 0.7
+        latent_dim = 512
+        image_size = 32
+        num_latents_for_mean = 8
+
+    g = Generator(size=32, key=jax.random.PRNGKey(0))
+    swav = SwAVClustering(
+        model=g, model_config=_MC(),
+        perturb_args=dict(truncation=0.7, n_layers=2, n_samples=1,
+                          layer_no=None, perturb_std=[1.0, 1.0]),
+        swav_args=dict(num_epochs=1, num_samples=1, num_patches=1,
+                       sampling_method='random', patch_size=32,
+                       hf_interp='nearest', warmup_epochs=1,
+                       start_warmup=0.01, use_scheduler=False, base_lr=0.01,
+                       final_lr=0.0001, trust_coeff=0.01,
+                       freeze_prototype_niters=1,
+                       train_args=dict(lr=0.01, momentum=0.9),
+                       projn_nw='linear', temperature=0.1, nprototypes=8,
+                       nclasses=8, hlen=3584, add_local_loss=False,
+                       plot_test_images=True, epoch_print_freq=1,
+                       max_masks=2),
+        sinkhorn_args=dict(source_pdf='uniform', niters=2, eps=0.05),
+        out_dir=str(tmp_path), num_test_samples=2,
+    )
+    swav.pretrain()
+    assert os.path.exists(os.path.join(str(tmp_path), "swav",
+                                       "test_epoch_0.png"))
