@@ -218,8 +218,18 @@ class BagGANHQ(GANBaseModel):
 
         size = config.image_size
         cm = getattr(config, "chl_multiplier", 2)
-        self.generator_params, self.gen_meta = init_generator(
-            kg, size, style_dim=config.latent_dim,
+        # jit the inits: eager per-op dispatch is ~100x slower on a TPU relay
+        self.generator_params = jax.jit(
+            lambda k: init_generator(
+                k, size, style_dim=config.latent_dim,
+                n_mlp=config.generator_params.get("mlp_layers", 8),
+                channel_multiplier=cm,
+            )[0]
+        )(kg)
+        from ganecdotes_tpu.models.stylegan2.generator import generator_meta
+
+        self.gen_meta = generator_meta(
+            size, style_dim=config.latent_dim,
             n_mlp=config.generator_params.get("mlp_layers", 8),
             channel_multiplier=cm,
         )
@@ -232,10 +242,17 @@ class BagGANHQ(GANBaseModel):
         self.iter_no = 0
 
         if self.is_train:
-            self.disc_params, self.disc_meta = init_discriminator(
-                kd, size, channel_multiplier=cm,
-                in_channels=getattr(config, "num_channels", 3),
+            self.disc_params = jax.jit(
+                lambda k: init_discriminator(
+                    k, size, channel_multiplier=cm,
+                    in_channels=getattr(config, "num_channels", 3),
+                )[0]
+            )(kd)
+            from ganecdotes_tpu.models.stylegan2.discriminator import (
+                discriminator_meta,
             )
+
+            self.disc_meta = discriminator_meta(size)
             self.logger.info("Initialized Discriminator " + "+" * 40)
 
             self.adversarial_loss = gan_loss(config.gan_mode)

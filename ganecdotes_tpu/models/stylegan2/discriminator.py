@@ -94,9 +94,13 @@ def init_discriminator(key, size, channel_multiplier=2, in_channels=3,
         params["blocks"].append(_res_block_init(next(keys), in_ch, out_ch))
         in_ch = out_ch
 
-    meta = {"size": size, "stddev_group": 4, "stddev_feat": 1,
+    return params, discriminator_meta(size, blur_kernel)
+
+
+def discriminator_meta(size, blur_kernel=(1, 3, 3, 1)):
+    """Static architecture record (no device work)."""
+    return {"size": size, "stddev_group": 4, "stddev_feat": 1,
             "blur_kernel": tuple(blur_kernel)}
-    return params, meta
 
 
 def minibatch_stddev(x, group_size=4, num_new_features=1):

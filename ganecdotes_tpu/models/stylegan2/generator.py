@@ -90,10 +90,30 @@ def _to_rgb_init(key, in_ch, style_dim):
     }
 
 
+def generator_meta(size, style_dim=512, n_mlp=8, channel_multiplier=2,
+                   blur_kernel=(1, 3, 3, 1)):
+    """Static architecture record (pure config math, no device work)."""
+    log_size = int(math.log2(size))
+    return {
+        "size": size,
+        "style_dim": style_dim,
+        "n_mlp": n_mlp,
+        "channel_multiplier": channel_multiplier,
+        "blur_kernel": tuple(blur_kernel),
+        "n_latent": log_size * 2 - 2,
+        "num_layers": (log_size - 2) * 2 + 1,
+    }
+
+
 def init_generator(
     key, size, style_dim=512, n_mlp=8, channel_multiplier=2, blur_kernel=(1, 3, 3, 1)
 ):
-    """Build the parameter pytree (matches ref Generator.__init__ :457-541)."""
+    """Build the parameter pytree (matches ref Generator.__init__ :457-541).
+
+    ~10⁲ eager random ops: call under jit (as ``Generator.__init__`` does)
+    when initializing on a real TPU — per-op dispatch through the device
+    relay costs ~100 s for the 256² tree, one compiled program ~2 s.
+    """
     channels = channel_map(channel_multiplier)
     log_size = int(math.log2(size))
     n_latent = log_size * 2 - 2
@@ -135,15 +155,8 @@ def init_generator(
         params["to_rgbs"].append(_to_rgb_init(next(keys), out_ch, style_dim))
         in_ch = out_ch
 
-    meta = {
-        "size": size,
-        "style_dim": style_dim,
-        "n_mlp": n_mlp,
-        "channel_multiplier": channel_multiplier,
-        "blur_kernel": tuple(blur_kernel),
-        "n_latent": n_latent,
-        "num_layers": num_layers,
-    }
+    meta = generator_meta(size, style_dim, n_mlp, channel_multiplier,
+                          blur_kernel)
     return params, meta
 
 
@@ -367,14 +380,24 @@ class Generator:
                  blur_kernel=(1, 3, 3, 1), lr_mlp=0.01, key=None):
         if key is None:
             key = jax.random.PRNGKey(0)
-        self.params, self.meta = init_generator(
-            key, size, style_dim, n_mlp, channel_multiplier, blur_kernel
+        # init as ONE compiled program: eager per-op dispatch of the ~100
+        # random inits costs ~100 s through a TPU relay
+        self.params = jax.jit(
+            lambda k: init_generator(
+                k, size, style_dim, n_mlp, channel_multiplier,
+                tuple(blur_kernel),
+            )[0]
+        )(key)
+        self.meta = generator_meta(
+            size, style_dim, n_mlp, channel_multiplier, blur_kernel
         )
         self.size = size
         self.style_dim = style_dim
         self.n_latent = self.meta["n_latent"]
         self.num_layers = self.meta["num_layers"]
         self._compiled = {}
+        # stateful stream for the reference's randomize_noise=True default
+        self._noise_key = jax.random.fold_in(key, 0x6E6F6973)  # "nois"
 
     def style(self, z):
         return self._style_jit(self.params, jnp.asarray(z))
@@ -389,7 +412,13 @@ class Generator:
 
     def mean_latent(self, n, key=None):
         key = jax.random.PRNGKey(4096) if key is None else key
-        return mean_latent(self.params, key, n, self.style_dim)
+        fn = self._compiled.get(("mean_latent", n))
+        if fn is None:
+            fn = jax.jit(
+                lambda params, k: mean_latent(params, k, n, self.style_dim)
+            )
+            self._compiled[("mean_latent", n)] = fn
+        return fn(self.params, key)
 
     def make_noise(self, key=None, batch=1):
         key = jax.random.PRNGKey(7) if key is None else key
@@ -397,14 +426,29 @@ class Generator:
 
     def __call__(self, styles, **kwargs):
         """Forward through a cached jitted closure (one compile per static
-        config + shape; op-by-op dispatch on TPU would be pathological)."""
+        config + shape; op-by-op dispatch on TPU would be pathological).
+
+        Every path is jitted, including the reference's default
+        ``randomize_noise=True``: fresh per-layer noise is drawn on the host
+        from a stateful key (reference semantics: new noise each forward,
+        model.py:614-619) and passed as traced arguments, so noise shape —
+        not value — determines the compilation.
+        """
         if not isinstance(styles, (list, tuple)):
             styles = [styles]
         styles = [jnp.asarray(s) for s in styles]
 
-        if kwargs.get("noise") is not None or kwargs.get("noise_key") is not None:
-            # dynamic noise lists: fall through unjitted (rare path)
-            return generator_forward(self.params, self.meta, styles, **kwargs)
+        noise = kwargs.get("noise")
+        if noise is None:
+            if kwargs.get("noise_key") is not None:
+                noise = self.make_noise(
+                    kwargs["noise_key"], batch=styles[0].shape[0]
+                )
+            elif kwargs.get("randomize_noise", True):
+                self._noise_key, k = jax.random.split(self._noise_key)
+                noise = self.make_noise(k, batch=styles[0].shape[0])
+        if noise is not None:
+            noise = tuple(jnp.asarray(x) for x in noise)
 
         trunc_lat = kwargs.get("truncation_latent")
         static = (
@@ -412,7 +456,7 @@ class Generator:
             kwargs.get("input_is_latent", False),
             float(kwargs.get("truncation", 1.0)),
             trunc_lat is not None,
-            kwargs.get("randomize_noise", True),
+            noise is not None,
             kwargs.get("inject_index"),
             kwargs.get("return_latents", False),
             kwargs.get("dtype"),
@@ -430,20 +474,25 @@ class Generator:
                     ("dtype", None),
                 ]
             }
-            kw["randomize_noise"] = False  # noise-free jitted path
+            kw["randomize_noise"] = False  # noise arrives as traced args
 
-            def fwd(params, styles, truncation_latent):
-                return generator_forward(
-                    params, meta, list(styles),
-                    truncation_latent=truncation_latent, **kw,
-                )
+            if noise is None:  # fixed noise buffers from params
+
+                def fwd(params, styles, truncation_latent, _noise):
+                    return generator_forward(
+                        params, meta, list(styles),
+                        truncation_latent=truncation_latent, **kw,
+                    )
+
+            else:
+
+                def fwd(params, styles, truncation_latent, noise):
+                    return generator_forward(
+                        params, meta, list(styles), noise=list(noise),
+                        truncation_latent=truncation_latent, **kw,
+                    )
 
             fn = jax.jit(fwd)
             self._compiled[static] = fn
 
-        if kwargs.get("randomize_noise", True) and kwargs.get("noise") is None:
-            # the reference's randomize_noise=True default needs explicit RNG
-            # in JAX; pipeline paths always pass randomize_noise=False
-            return generator_forward(self.params, self.meta, styles, **kwargs)
-
-        return fn(self.params, tuple(styles), trunc_lat)
+        return fn(self.params, tuple(styles), trunc_lat, noise)

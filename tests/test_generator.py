@@ -130,3 +130,33 @@ def test_style_mixing_inject_index():
     assert np.allclose(lat[0, 0], lat[0, 2])
     assert not np.allclose(lat[0, 2], lat[0, 3])
     assert np.allclose(lat[0, 3], lat[0, -1])
+
+
+def test_randomize_noise_default_is_jitted_and_fresh():
+    """The reference default randomize_noise=True must run under jit (not
+    silent eager dispatch) and draw new noise per call."""
+    from ganecdotes_tpu.models.stylegan2.generator import Generator
+    import jax
+
+    g = Generator(size=32, key=jax.random.PRNGKey(5))
+    # noise-injection weights init to 0 (StyleGAN2); make noise visible
+    g.params = jax.tree.map(lambda x: x, g.params)
+    g.params["conv1"]["noise_weight"] = jnp.ones(())
+    for c in g.params["convs"]:
+        c["noise_weight"] = jnp.ones(())
+    z = jax.random.normal(jax.random.PRNGKey(6), (2, 512))
+
+    img1, feats = g([z])  # randomize_noise defaults to True
+    img2, _ = g([z])
+    assert img1.shape == (2, 32, 32, 3)
+    assert len(feats) == g.num_layers
+    # fresh noise => different images, same compiled program
+    assert not np.allclose(np.asarray(img1), np.asarray(img2))
+    jitted = [k for k in g._compiled if k != "style"]
+    assert len(jitted) == 1, "both calls must reuse one jitted closure"
+
+    # explicit noise list is also a jitted path and is honored exactly
+    noise = g.make_noise(jax.random.PRNGKey(7), batch=2)
+    im_a, _ = g([z], noise=noise)
+    im_b, _ = g([z], noise=noise)
+    assert np.allclose(np.asarray(im_a), np.asarray(im_b))
