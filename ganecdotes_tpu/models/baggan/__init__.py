@@ -35,25 +35,45 @@ def load_baggan_generator(model_config, key=None, logger=None):
     cfg_path = getattr(model_config, "config_path", None)
     if cfg_path and os.path.exists(cfg_path):
         baggan_cfg = load_config(cfg_path, "baggan_config")
+
+        # 'latest' wins; otherwise the numerically highest epoch
+        # (lexicographic sort would pick '9' over '10')
+        def rank(p):
+            stem = os.path.basename(p).split("_net_")[0]
+            if stem == "latest":
+                return (2, 0)
+            try:
+                return (1, int(stem))
+            except ValueError:
+                return (0, 0)
+
         ckpts = glob.glob(
             os.path.join(baggan_cfg.checkpoint_dir, "*_net_G.npz")
         )
         if ckpts:
-            # 'latest' wins; otherwise the numerically highest epoch
-            # (lexicographic sort would pick '9' over '10')
-            def rank(p):
-                stem = os.path.basename(p).split("_net_")[0]
-                if stem == "latest":
-                    return (2, 0)
-                try:
-                    return (1, int(stem))
-                except ValueError:
-                    return (0, 0)
-
             best = max(ckpts, key=rank)
             g.params = load_pytree(best)
             if logger:
                 logger.info(f"Loaded BagGAN generator: {best}")
+            return g
+
+        # reference-format torch state_dicts (base_model.py:153-175)
+        ckpts = glob.glob(
+            os.path.join(baggan_cfg.checkpoint_dir, "*_net_G.pth")
+        )
+        if ckpts:
+            from ganecdotes_tpu.models.baggan.convert import (
+                load_baggan_torch_checkpoint,
+            )
+
+            best = max(ckpts, key=rank)
+            g.params, g.meta = load_baggan_torch_checkpoint(
+                best, ga.get("size", 256),
+                style_dim=ga.get("style_dim", 512),
+                res2chlmap=getattr(baggan_cfg, "res2chlmap", None),
+            )
+            if logger:
+                logger.info(f"Imported reference BagGAN generator: {best}")
             return g
     if logger:
         logger.warning(

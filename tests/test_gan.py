@@ -169,6 +169,7 @@ def test_sample_affine_invertible():
     assert np.all(np.abs(det) > 1e-3)
 
 
+@pytest.mark.slow
 def test_bagganhq_trainer_smoke(tmp_path):
     """Full GAN iterations on a tiny config: D, R1, G, PPL, ADA, ckpt IO."""
     import types
@@ -272,6 +273,7 @@ def test_discriminator_q_heads():
     assert np.all(np.abs(np.asarray(q_cont)) <= 1.0)  # tanh-bounded
 
 
+@pytest.mark.slow
 def test_bagganhq_style_mixing_g_step(tmp_path):
     """mixing_prob=1 exercises the 2-latent G step (crashed before the fix:
     g_loss_fn dropped inject_index and generator_forward raised under jit)."""
@@ -303,3 +305,138 @@ def test_bagganhq_style_mixing_g_step(tmp_path):
     assert 1 <= gan.inject_index <= gan.gen_meta["n_latent"] - 1
     gan.optimize_parameters()
     assert np.isfinite(gan.get_current_losses()["d"])
+
+
+def _load_ref_baggan_generator(size=32, mlp_layers=2):
+    """Import the reference BagGAN StyleGANGenerator on CPU.
+
+    The reference compiles CUDA kernels at import (lib/gan/optim) and pulls
+    astropy via `from lib.util.util import *`; neither exists here, so those
+    modules are stubbed with the reference's OWN pure fallbacks
+    (models/stylegan2/op) before the import — exactly the CPU dispatch the
+    reference documents."""
+    import os
+    import types
+
+    torch = pytest.importorskip("torch")
+    if not os.path.isdir(REF_PATH):
+        pytest.skip("reference tree not available")
+    if REF_PATH not in sys.path:
+        sys.path.insert(0, REF_PATH)
+
+    from torch.nn import functional as _F
+
+    import lib  # noqa: F401  (plain-os module, safe)
+    import lib.util  # noqa: F401  (empty __init__)
+
+    if "lib.util.util" not in sys.modules:
+        stub = types.ModuleType("lib.util.util")
+        stub.__all__ = []
+        sys.modules["lib.util.util"] = stub
+        sys.modules["lib.util"].util = stub
+
+    import lib.gan  # noqa: F401  (empty __init__)
+
+    if "lib.gan.optim" not in sys.modules:
+        from models.stylegan2.op import upfirdn2d
+
+        # the op/ shim's fused_leaky_relu hardcodes .cuda(); use the CPU
+        # fallback exactly as lib/gan/optim/fused_act.py:234-248 defines it
+        def fused_leaky_relu(input, bias=None, negative_slope=0.2,
+                             scale=2 ** 0.5):
+            if bias is not None:
+                rest = [1] * (input.ndim - bias.ndim - 1)
+                input = input + bias.view(1, bias.shape[0], *rest)
+            return _F.leaky_relu(input, negative_slope=0.2) * scale
+
+        class FusedLeakyReLU(torch.nn.Module):
+            def __init__(self, channel, negative_slope=0.2, scale=2 ** 0.5):
+                super().__init__()
+                self.bias = torch.nn.Parameter(torch.zeros(channel))
+                self.negative_slope = negative_slope
+                self.scale = scale
+
+            def forward(self, x):
+                return fused_leaky_relu(
+                    x, self.bias, self.negative_slope, self.scale
+                )
+
+        gradfix = types.ModuleType("lib.gan.optim.conv2d_gradfix")
+        gradfix.conv2d = _F.conv2d
+        gradfix.conv_transpose2d = _F.conv_transpose2d
+        optim = types.ModuleType("lib.gan.optim")
+        optim.FusedLeakyReLU = FusedLeakyReLU
+        optim.fused_leaky_relu = fused_leaky_relu
+        optim.upfirdn2d = upfirdn2d
+        optim.conv2d_gradfix = gradfix
+        sys.modules["lib.gan.optim"] = optim
+        sys.modules["lib.gan.optim.conv2d_gradfix"] = gradfix
+        sys.modules["lib.gan"].optim = optim
+
+    from models.baggan.models import StyleGANGenerator
+
+    torch.manual_seed(0)
+    g = StyleGANGenerator(latent_dims=(512, 512), img_resolution=size,
+                          mlp_layers=mlp_layers)
+    g.eval()
+    return torch, g
+
+
+def test_baggan_import_matches_reference_torch(tmp_path):
+    """BagGAN `%s_net_%s.pth` importer golden parity: save the actual
+    reference StyleGANGenerator's state_dict the way GANBaseModel does
+    (base_model.py:153-175), import it, and require identical outputs."""
+    import os
+
+    from ganecdotes_tpu.models.baggan.convert import (
+        load_baggan_torch_checkpoint,
+    )
+    from ganecdotes_tpu.models.stylegan2.generator import generator_forward
+
+    size = 32
+    torch, g = _load_ref_baggan_generator(size=size)
+    path = os.path.join(str(tmp_path), "latest_net_G.pth")
+    torch.save(g.state_dict(), path)
+
+    params, meta = load_baggan_torch_checkpoint(path, size)
+    assert meta["n_latent"] == g.n_latent
+    assert meta["num_layers"] == g.num_layers
+
+    rng = np.random.RandomState(0)
+    w = rng.randn(2, g.n_latent, 512).astype(np.float32)
+    mean_w = rng.randn(1, 512).astype(np.float32)
+
+    with torch.no_grad():
+        img_t, feats_t = g([torch.from_numpy(w)], input_is_latent=True,
+                           truncation=0.7,
+                           truncation_latent=torch.from_numpy(mean_w),
+                           randomize_noise=False)
+
+    img_j, feats_j = generator_forward(
+        params, meta, [jnp.asarray(w)], input_is_latent=True,
+        truncation=0.7, truncation_latent=jnp.asarray(mean_w),
+        randomize_noise=False,
+    )
+
+    assert len(feats_j) == len(feats_t)
+    for ft, fj in zip(feats_t, feats_j):
+        want = ft.numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(fj), want, atol=2e-4,
+                                   err_msg=f"feature {want.shape}")
+    np.testing.assert_allclose(
+        np.asarray(img_j), img_t.numpy().transpose(0, 2, 3, 1), atol=2e-4
+    )
+
+    # z-space path exercises the imported mapping MLP too
+    z = rng.randn(1, 512).astype(np.float32)
+    with torch.no_grad():
+        img_t, _ = g([torch.from_numpy(z)], truncation=0.7,
+                     truncation_latent=torch.from_numpy(mean_w),
+                     randomize_noise=False)
+    img_j, _ = generator_forward(
+        params, meta, [jnp.asarray(z)], truncation=0.7,
+        truncation_latent=jnp.asarray(mean_w), randomize_noise=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(img_j), img_t.numpy().transpose(0, 2, 3, 1), atol=2e-4
+    )

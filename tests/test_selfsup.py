@@ -205,3 +205,57 @@ def test_xxs_zip_truncation_quirk():
     assert out.shape[-1] == 12  # NOT n_class — reproduces the reference quirk
     assert segmentor_out_channels(8, "XXS") == 12
     assert segmentor_out_channels(8, "S") == 8
+
+
+def test_import_torch_swav_modules(tmp_path):
+    """SwAV artifact importer parity: build the torch modules exactly as
+    the reference does (swav_clustering.py:244-271), torch.save them the
+    reference's way (:503-505), import, and check prediction math."""
+    import os
+
+    torch = pytest.importorskip("torch")
+    from ganecdotes_tpu.selfsup.swav import (
+        import_torch_swav_modules,
+        projection_tail,
+    )
+
+    hlen, ncls, nproto = 24, 8, 16
+    torch.manual_seed(0)
+
+    for projn_nw in ("linear", "2-layer"):
+        if projn_nw == "linear":
+            projection = torch.nn.Sequential(
+                torch.nn.Linear(hlen, ncls, bias=False)
+            )
+        else:
+            projection = torch.nn.Sequential(
+                torch.nn.Linear(hlen, ncls, bias=False),
+                torch.nn.BatchNorm1d(ncls),
+                torch.nn.LeakyReLU(inplace=True),
+                torch.nn.Linear(ncls, ncls, bias=False),
+                torch.nn.BatchNorm1d(ncls),
+                torch.nn.Tanh(),
+            )
+        prototype = torch.nn.Linear(ncls, nproto)
+        projection.eval()
+        prototype.eval()
+
+        pf = os.path.join(str(tmp_path), "prototypes.pt")
+        jf = os.path.join(str(tmp_path), "projection.pt")
+        torch.save(prototype, pf)
+        torch.save(projection, jf)
+
+        params = import_torch_swav_modules(pf, jf, projn_nw)
+
+        x = np.random.RandomState(1).randn(5, hlen).astype(np.float32)
+        with torch.no_grad():
+            z_t = projection(torch.from_numpy(x)).numpy()
+            s_t = prototype(torch.from_numpy(z_t)).numpy()
+
+        z_j = jnp.asarray(x) @ params["projection"][0]["weight"]
+        z_j = projection_tail(params, z_j, projn_nw, train=False)
+        s_j = (
+            z_j @ params["prototype"]["weight"] + params["prototype"]["bias"]
+        )
+        np.testing.assert_allclose(np.asarray(z_j), z_t, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s_j), s_t, atol=1e-5)
