@@ -16,28 +16,42 @@ upfirdn2d.py:17-206) with a pure-PyTorch fallback
 
 TPU-first design — three interchangeable implementations:
 
-* ``upfirdn2d_ref``      pure-jnp golden reference: one depthwise
-                         ``lax.conv_general_dilated`` (lhs_dilation = up,
-                         strides = down). Differentiable natively; used for
-                         parity tests, small shapes, and as autodiff oracle.
-* ``_upfirdn2d_matmul``  the production path: because every kernel used by
-                         StyleGAN2 is separable (outer(k, k) from
-                         ``make_kernel``), the op factors into two banded
-                         resampling matrices  out = R_h · x · R_wᵀ  — two
-                         dense matmuls that run on the MXU instead of a
-                         VPU-bound depthwise conv. The banded matrices are
-                         built once per (size, up, down, pad, taps) on host
-                         and closed over as constants.
+* ``upfirdn2d_ref``      depthwise ``lax.conv_general_dilated``
+                         (lhs_dilation = up, strides = down) — golden
+                         reference AND the wide-channel production path.
+* ``_upfirdn2d_matmul``  because every kernel used by StyleGAN2 is separable
+                         (outer(k, k) from ``make_kernel``), the op factors
+                         into two banded resampling matrices
+                         out = R_h · x · R_wᵀ — two dense MXU matmuls. Wins
+                         for few-channel tensors (to_rgb skips, ADA on RGB).
 * Pallas fused kernel    (``ganecdotes_tpu.ops.upfirdn2d_pallas``,
                          ``impl='pallas'``) fuses both separable passes in
                          VMEM with double-buffered HBM DMA for the blur
                          (up=down=1) case — the analog of the reference CUDA
                          kernel's tiled shared-memory specializations.
-                         Measured on v5e (32×128×128×128): pallas 3.3 ms /
-                         2.4 ms bf16 vs matmul 3.1 / 2.2 — XLA's pipelining
-                         of the two einsums already saturates HBM, so 'auto'
-                         keeps the matmul path and the kernel stays an
-                         explicit opt-in.
+
+'auto' policy — measured on v5e, batch 32, fori_loop-chained device timing
+(host-side block_until_ready timing through the TPU relay under-reports
+small ops by >10× and picked the wrong winner in round 1):
+
+    shape, mode                 fp32  ms (matmul / conv / pallas)   bf16
+    66²×512  blur k4            2.18 / 2.07 / 3.37         1.30 / 1.20 / 2.52
+    130²×256 blur k4            5.24 / 3.78 / 5.94         2.10 / 2.09 / 3.49
+    258²×128 blur k4           13.91 / 7.85 / 10.95        3.79 / 4.09 / 6.24
+    64²×512  up2 k4             6.37 / 0.98 / —            2.96 / 0.94 / —
+    128²×256 down2 k4           3.88 / 1.46 / —            2.20 / 0.94 / —
+    128²×3   up2 k4 (to_rgb)    0.53 / 0.77 / —            0.45 / 0.75 / —
+    256²×3   down2 k4 (ADA)     0.52 / 0.69 / —            0.52 / 0.57 / —
+
+The depthwise conv dominates for wide channels (XLA maps it onto efficient
+windowed reductions and never materializes the dense banded operands); the
+matmul wins only for few-channel tensors whose depthwise conv would idle the
+vector lanes. The up2/down2 Pallas specializations of the CUDA kernel
+(upfirdn2d_kernel.cu:260-300) were evaluated and rejected: every wide-channel
+up/down call site in this framework is beaten by the conv path, and the
+remaining up/down sites are C=3 (to_rgb skip, ADA), below any VMEM-tiling
+granularity the kernel could exploit. The blur Pallas kernel stays an
+explicit opt-in.
 
 All functions are NHWC (TPU-native layout). The reference is NCHW; the
 conversion happens only at checkpoint/IO boundaries.
@@ -184,14 +198,26 @@ def _upfirdn2d_matmul(x, taps_y, taps_x, up, down, pad):
     return y
 
 
+# 'auto' dispatch cutoff: measured on v5e (fori_loop-chained device timing,
+# batch 32 — see module docstring table), the depthwise dilated conv beats
+# the banded matmul for wide channel counts (up2 C=512: 0.98 vs 6.37 ms
+# fp32; down2 C=256: 1.46 vs 3.88; blur 258² C=128: 7.8 vs 13.9) while the
+# matmul wins for few channels (to_rgb/ADA C=3: 0.45-0.53 vs 0.57-0.77).
+_CONV_CHANNEL_CUTOFF = 64
+
+
 def upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0), impl="auto"):
     """Fused upsample→FIR→downsample (NHWC).
 
-    ``impl``: 'auto' | 'matmul' | 'pallas' | 'ref'. 'auto' uses the MXU
-    matmul factorization whenever the kernel is separable; 'pallas' opts in
-    to the fused VMEM kernel (blur case only, see upfirdn2d_pallas).
+    ``impl``: 'auto' | 'conv' | 'matmul' | 'pallas' | 'ref'. 'auto' picks the
+    depthwise dilated conv for wide tensors and the MXU banded-matmul
+    factorization for few-channel ones (measured policy, see
+    ``_CONV_CHANNEL_CUTOFF``); 'pallas' opts in to the fused VMEM kernel
+    (blur case only, see upfirdn2d_pallas).
     """
-    if impl == "ref":
+    if impl in ("ref", "conv") or (
+        impl == "auto" and x.shape[-1] >= _CONV_CHANNEL_CUTOFF
+    ):
         return upfirdn2d_ref(x, kernel, up=up, down=down, pad=pad)
     try:
         kernel_np = np.asarray(kernel)

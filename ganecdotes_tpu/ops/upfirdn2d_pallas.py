@@ -5,10 +5,12 @@ TPU-native counterpart of the reference's templated CUDA kernel
 shared-memory specializations, this stages a zero-padded channel tile in
 VMEM and accumulates the separable FIR as static tap loops — row taps as
 leading-dim slices, column taps as sublane slices — so the row-pass
-intermediate never touches HBM. The op is bandwidth-bound (kh ≤ 6 taps), so
-the VPU multiply-adds hit the HBM roofline; the MXU matmul factorization in
-``upfirdn2d`` stays the general path for up/down resampling, exactly as the
-reference keeps a generic ``_large`` kernel beside its specializations.
+intermediate never touches HBM. Honest device timing (fori_loop-chained, see
+the measurement table in ``upfirdn2d.py``) has XLA's depthwise dilated conv
+ahead of this kernel on every production blur shape (e.g. 130²×256 fp32:
+3.78 ms conv vs 5.94 pallas), so the kernel remains an explicit opt-in and
+``upfirdn2d``'s 'auto' policy dispatches between the conv and the MXU
+banded-matmul factorization by channel width.
 
 Backward is the reference's autograd algebra (lib/gan/optim/upfirdn2d.py:
 104-143): a blur's gradient is the blur with the flipped kernel and

@@ -74,6 +74,7 @@ def test_labeller_gui_headless():
     gui._key_maps(type("E", (), {"key": "z"})())  # undo via keymap
 
 
+@pytest.mark.slow
 def test_interactive_gui_with_tiny_pipeline(tmp_path):
     import textwrap
 
