@@ -235,3 +235,35 @@ def test_upfirdn2d_pallas_impl_flag_falls_back():
     got = upfirdn2d(x, k, up=2, down=1, pad=(2, 1), impl="pallas")
     want = upfirdn2d_ref(x, jnp.asarray(k), up=2, down=1, pad=(2, 1))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_upfirdn2d_pallas_vmem_budget_holds():
+    """The scratch the kernel actually allocates must stay within the VMEM
+    budget the tiling model claims, across a sweep of eligible shapes —
+    interpret-mode CPU runs can't catch a real VMEM OOM, so assert the
+    accounting itself (VMEM is ~16 MB/core more headroom than the 2x4 MB
+    budget + double-buffered output blocks claimed here)."""
+    from ganecdotes_tpu.ops.upfirdn2d_pallas import _VMEM_BYTES, _tiles
+
+    kh = kw = 4
+    for hp, wp, c in [
+        (34, 40, 128), (66, 72, 512), (130, 136, 256), (258, 264, 128),
+        (514, 520, 128), (130, 136, 1024), (1026, 1032, 128),
+    ]:
+        for itemsize in (2, 4):
+            oy, ox = hp - kh + 1, wp - kw + 1
+            th, ct = _tiles(hp, wp, oy, ox, kh, itemsize, c)
+            if th <= 0:
+                continue
+            # what _forward actually allocates:
+            scratch = 2 * (th + kh - 1) * wp * ct * itemsize  # dbl-buf input
+            rowpass = (th + kh - 1) * wp * ct * 4             # f32 row FIR
+            colacc = th * ox * ct * 4                         # f32 col acc
+            out_blk = 2 * th * ox * ct * itemsize             # dbl-buf out
+            total = scratch + rowpass + colacc + out_blk
+            assert total <= 2 * _VMEM_BYTES + out_blk + rowpass, (
+                hp, wp, c, itemsize, th, ct, total
+            )
+            # hard ceiling: never claim more than a core's 16 MB of VMEM
+            assert total <= 16 * 1024 * 1024, (hp, wp, c, itemsize, total)
+            assert oy % 1 == 0 and c % ct == 0
