@@ -77,18 +77,20 @@ def build(batch, dtype, method="swav"):
         )
 
     if method == "swav":
-        from ganecdotes_tpu.selfsup.swav import (
-            init_swav_params,
-            swav_predict_from_features,
-        )
+        from ganecdotes_tpu.selfsup.embed import project_segment_single_conv
+        from ganecdotes_tpu.selfsup.swav import init_swav_params
 
         ssl = init_swav_params(ks, 4864, 512, 5000, "linear")
         seg = init_one_shot_segmentor(kh, 512, 8, "XXS")
 
+        # the pipeline's fused XXS path: head folded into the level
+        # decomposition, no (B, H, W, 512) embedding in HBM
         def fn(gen_params, ssl_params, seg_params, latents):
             img, feats = synth(gen_params, latents)
-            z = swav_predict_from_features(ssl_params, feats, 4864, 512, "linear")
-            logits = one_shot_segmentor_apply(seg_params, z, "XXS")
+            logits = project_segment_single_conv(
+                feats, ssl_params["projection"][0]["weight"],
+                seg_params[0]["weight"], seg_params[0]["bias"], hlen=4864,
+            )
             return jnp.argmax(logits, axis=-1)
 
     elif method == "simclr":
@@ -120,7 +122,9 @@ def build(batch, dtype, method="swav"):
         # hfc_kmeans_config: 5 layers, [4,8,16,32,64] clusters, out 256
         cpl = [4, 8, 16, 32, 64]
         n_layers = len(cpl)
-        _, probe = synth(g.params, jnp.zeros((1, 512)))
+        # probe under jit: one eager 256² forward through the relay costs
+        # minutes of per-op dispatch
+        _, probe = jax.jit(synth)(g.params, jnp.zeros((1, 512)))
         groups = group_features_by_block(probe, skip_const=True)
         kc = jax.random.split(ks, n_layers)
         centers = [
@@ -194,7 +198,14 @@ def sweep(method="swav", iters=20):
         try:
             jfn, args = build(b, jnp.bfloat16, method)
             results[b] = (b / timed(jfn, args, iters), jfn, args)
-        except Exception:
+        except Exception as e:
+            if not results:
+                # the smallest batch failing is a real breakage, not an OOM
+                # at the sweep's edge — don't report a silent 0.0 headline
+                raise
+            import sys
+
+            print(f"bench: batch {b} failed ({e!r})", file=sys.stderr)
             results[b] = (0.0, None, None)
         return results[b]
 

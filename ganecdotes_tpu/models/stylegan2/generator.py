@@ -439,12 +439,14 @@ class Generator:
         styles = [jnp.asarray(s) for s in styles]
 
         noise = kwargs.get("noise")
-        if noise is None:
+        if noise is None and kwargs.get("randomize_noise", True):
+            # generator_forward precedence: randomize_noise=False always
+            # means the fixed params['noises'] buffers, even with a key
             if kwargs.get("noise_key") is not None:
                 noise = self.make_noise(
                     kwargs["noise_key"], batch=styles[0].shape[0]
                 )
-            elif kwargs.get("randomize_noise", True):
+            else:
                 self._noise_key, k = jax.random.split(self._noise_key)
                 noise = self.make_noise(k, batch=styles[0].shape[0])
         if noise is not None:

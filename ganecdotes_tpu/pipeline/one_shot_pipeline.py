@@ -495,6 +495,50 @@ class OneShotPipeline:
                 interp = pre.swav_args.get("hf_interp", "nearest")
                 projn = pre.swav_args["projn_nw"]
 
+                if (
+                    seg_size == "XXS"
+                    and not self._seg_is_mlp
+                    and projn == "linear"
+                    and interp == "nearest"
+                ):
+                    # single-conv head + linear projection + nearest interp:
+                    # fold the head into the level decomposition so the
+                    # (B, H, W, nclasses) embedding never hits HBM (exact,
+                    # see embed.project_segment_single_conv; ~1.3× on the
+                    # headline throughput). Cluster labels (used only for
+                    # the first sample's TB figure) come from a 1-sample
+                    # embedding.
+                    from ganecdotes_tpu.selfsup.embed import (
+                        project_segment_single_conv,
+                    )
+
+                    proj_w = ssl_params["projection"][0]["weight"]
+                    nclasses = pre.nclasses
+
+                    @jax.jit
+                    def infer(gen_params, seg_params, latents):
+                        img, feats = generator_forward(
+                            gen_params, meta, [latents], input_is_latent=True,
+                            truncation=truncation,
+                            truncation_latent=mean_latent,
+                            randomize_noise=False,
+                        )
+                        logits = project_segment_single_conv(
+                            feats, proj_w, seg_params[0]["weight"],
+                            seg_params[0]["bias"], hlen=hlen,
+                        )
+                        z0 = swav_predict_from_features(
+                            ssl_params, [f[:1] for f in feats], hlen,
+                            nclasses, projn, interp,
+                        )
+                        return (
+                            img,
+                            jnp.argmax(logits, axis=-1),
+                            jnp.argmax(z0, axis=-1),
+                        )
+
+                    return infer
+
                 def embed_one(feats):
                     return swav_predict_from_features(
                         ssl_params, feats, hlen, pre.nclasses, projn, interp
@@ -559,16 +603,20 @@ class OneShotPipeline:
             hier = pre.hier_encode
             beliefs = pre.trained_beliefs
             p_trunc = pre.perturb_config["truncation"]
+            # the preprocessor's OWN mean-latent estimate (different key
+            # stream than the pipeline's): the clusterers/beliefs/head were
+            # all fitted on features anchored to it
+            pre_mean = pre.mean_latent
             n_latent = meta["n_latent"]
 
             @jax.jit
             def infer(gen_params, seg_params, latents):
                 # replicate HFCPreprocessor._w_plus + _grouped_features
-                w = mean_latent + p_trunc * (latents - mean_latent)
+                w = pre_mean + p_trunc * (latents - pre_mean)
                 w_plus = jnp.repeat(w[:, None, :], n_latent, axis=1)
                 _, feats = generator_forward(
                     gen_params, meta, [w_plus], input_is_latent=True,
-                    truncation=p_trunc, truncation_latent=mean_latent,
+                    truncation=p_trunc, truncation_latent=pre_mean,
                     randomize_noise=False,
                 )
                 groups = group_features_by_block(feats, skip_const=True)
@@ -633,11 +681,12 @@ class OneShotPipeline:
         """tester='demo': one-shot sample + all test predictions in one
         2×(n+1) grid (ref :834-879)."""
         size = self.model_config.image_size
+        one_shot_in = self.one_shot_latent
+        if one_shot_in.ndim == 1:
+            one_shot_in = one_shot_in[None]
         input_im = np.asarray(
             resize_nearest(
-                jnp.asarray(
-                    self.get_image_from_latent(self.one_shot_latent[None])
-                ),
+                jnp.asarray(self.get_image_from_latent(one_shot_in)),
                 size,
             )
         )[0]
@@ -697,10 +746,22 @@ class OneShotPipeline:
             mesh = make_mesh()
             repl = NamedSharding(mesh, P())
             shard = NamedSharding(mesh, P("data"))
-            infer = jax.jit(
-                infer, in_shardings=(repl, repl, shard), out_shardings=shard
-            )
             batch = n_dev * max(1, MAX_TEST_BATCH // n_dev)
+            # shard only the batch-sized outputs: the fused swav path also
+            # returns a 1-sample cluster map, which must stay replicated
+            out_struct = jax.eval_shape(
+                infer, self.model.params, self.segmentor_params,
+                jnp.zeros((batch, self.test_latents.shape[-1]),
+                          self.test_latents.dtype),
+            )
+            out_shardings = jax.tree.map(
+                lambda s: shard if s.shape and s.shape[0] == batch else repl,
+                out_struct,
+            )
+            infer = jax.jit(
+                infer, in_shardings=(repl, repl, shard),
+                out_shardings=out_shardings,
+            )
 
         pred_labels = []
         test_images = []
@@ -731,12 +792,17 @@ class OneShotPipeline:
                 cluster0 = cluster0 / max(float(cluster0.max()), 1e-12)
                 self._save_test_pred_figure(img0, cluster0, bs)
                 self.summary_writer.add_image(
-                    "one_shot/test_image", np.clip(img0 * 0.5 + 0.5, 0, 1)
+                    "one_shot/test_image", np.clip(img0 * 0.5 + 0.5, 0, 1),
+                    step=bs,
                 )
-                self.summary_writer.add_image("one_shot/swav_output", cluster0)
+                self.summary_writer.add_image(
+                    "one_shot/swav_output", cluster0, step=bs
+                )
             pred0 = np.asarray(pred[0], dtype=np.float32)
             self.summary_writer.add_image(
-                "one_shot/predictions", pred0 / max(float(pred0.max()), 1.0)
+                "one_shot/predictions",
+                pred0 / max(float(pred0.max()), 1.0),
+                step=bs,
             )
 
         pred_labels = np.concatenate(pred_labels, axis=0)[:n]

@@ -118,6 +118,98 @@ def project_feature_maps(features, weight, hlen=None, interp="nearest"):
     return out
 
 
+def project_segment_single_conv(features, weight, head_w, head_b, hlen=None):
+    """Logits of a single-3×3-conv head over the level-decomposed embedding,
+    without ever materializing the (B, H, W, nclasses) embedding.
+
+    Exact refactoring for nearest interpolation and a linear head (the XXS
+    one-shot segmentor is one Conv2d, ref swav_clustering.py:716-717,731):
+    the conv distributes over the level sum, commutes with the per-pixel
+    projection matmuls, and composes with nearest ×2 upsampling into a
+    lhs-dilated conv:
+
+        conv3x3(Σ_l U(f_l · P_l), W)
+          = Σ_{full-res l} conv3x3(f_l, P_l · W)
+          + conv(acc_half, A·W·Aᵀ, lhs_dilation=2, pad=2)
+
+    where ``acc_half`` is the usual coarse→fine accumulation stopped at H/2
+    and A = [[1,0,0],[1,1,0],[0,1,1],[0,0,1]] combines the 3 taps into the 4
+    polyphase taps of conv3x3∘nearest-up2. Cuts the head's HBM traffic from
+    ~27 GB to ~6 GB per 96-image batch at 256² (the z write+read dominates
+    the unfused path).
+
+    ``weight``: (hlen, nclasses) projection; ``head_w``: (3, 3, nclasses,
+    C_out) HWIO; ``head_b``: (C_out,). Returns (B, H, W, C_out) logits.
+    """
+    import jax
+
+    h = max(f.shape[1] for f in features)
+    w = max(f.shape[2] for f in features)
+    dims = layer_channel_dims(features)
+    chunks = _split_weight_by_layer(weight, dims, hlen)
+
+    full, coarse = [], []
+    for f, (off, use) in zip(features, chunks):
+        if use == 0:
+            continue
+        (full if f.shape[1] == h and f.shape[2] == w else coarse).append(
+            (f, off, use)
+        )
+
+    dt = features[0].dtype
+    out = None
+
+    # full-resolution levels: fold the projection into the conv weights
+    for f, off, use in full:
+        w_l = weight[off : off + use]  # (use, nclasses)
+        wc = jnp.einsum(
+            "cd,tsdo->tsco", w_l, head_w,
+            preferred_element_type=jnp.float32,
+        ).astype(dt)
+        y = jax.lax.conv_general_dilated(
+            f[..., :use], wc, window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dt,
+        )
+        out = y if out is None else out + y
+
+    # coarse levels: usual progressive accumulation up to H/2 ...
+    acc = None
+    for f, off, use in coarse:
+        w_l = weight[off : off + use].astype(f.dtype)
+        z = f[..., :use] @ w_l
+        if acc is None:
+            acc = z
+        else:
+            ah, aw = acc.shape[1], acc.shape[2]
+            fh, fw = z.shape[1], z.shape[2]
+            if (fh, fw) != (ah, aw):
+                acc = resize_nearest(acc, (fh, fw))
+            acc = acc + z
+    if acc is not None:
+        if acc.shape[1] != h // 2 or acc.shape[2] != w // 2:
+            acc = resize_nearest(acc, (h // 2, w // 2))
+        # ... then one lhs-dilated conv replaces nearest-up2 + conv3x3
+        A = jnp.asarray(
+            [[1, 0, 0], [1, 1, 0], [0, 1, 1], [0, 0, 1]], dtype=jnp.float32
+        )
+        wk = jnp.einsum(
+            "at,bs,tsdo->abdo", A, A,
+            head_w.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).astype(dt)
+        y = jax.lax.conv_general_dilated(
+            acc, wk, window_strides=(1, 1),
+            padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dt,
+        )
+        out = y if out is None else out + y
+
+    return out + head_b.astype(dt)
+
+
 def pixel_feature_gather(features, picks, out_hw, hlen=None):
     """Gather full concat feature vectors for a pixel subset, per level.
 

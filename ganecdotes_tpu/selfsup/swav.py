@@ -474,8 +474,9 @@ class SwAVClustering:
         self.ssl_params = None
         if not self.train and self.params_file and os.path.exists(self.params_file):
             self.ssl_params = load_pytree(self.params_file)
-        elif not self.train and out_dir is not None and os.path.exists(
-            os.path.join(out_dir, "prototypes.pt")
+        elif not self.train and out_dir is not None and all(
+            os.path.exists(os.path.join(out_dir, f))
+            for f in ("prototypes.pt", "projection.pt")
         ):
             # reference-format artifacts (torch.save'd modules, ref :79-89)
             self.ssl_params = import_torch_swav_modules(

@@ -259,3 +259,86 @@ def test_import_torch_swav_modules(tmp_path):
         )
         np.testing.assert_allclose(np.asarray(z_j), z_t, atol=1e-5)
         np.testing.assert_allclose(np.asarray(s_j), s_t, atol=1e-5)
+
+
+def test_project_segment_single_conv_matches_unfused():
+    """The fused XXS head (projection folded into per-level convs + one
+    lhs-dilated conv for the coarse accumulation) must match
+    conv3x3(project_feature_maps(...)) exactly up to fp tolerance."""
+    import jax
+
+    from ganecdotes_tpu.selfsup.embed import (
+        project_feature_maps,
+        project_segment_single_conv,
+    )
+    from ganecdotes_tpu.selfsup.heads import (
+        init_one_shot_segmentor,
+        one_shot_segmentor_apply,
+    )
+
+    rng = np.random.RandomState(0)
+    # StyleGAN-shaped pyramid: pairs per resolution, 32² finest
+    shapes = [(1, 4, 4, 24), (1, 8, 8, 24), (1, 8, 8, 24),
+              (1, 16, 16, 12), (1, 16, 16, 12),
+              (1, 32, 32, 6), (1, 32, 32, 6)]
+    feats = [jnp.asarray(rng.randn(*s).astype(np.float32)) for s in shapes]
+    total = sum(s[-1] for s in shapes)
+
+    for hlen in (total, total - 9):  # exact and mid-level-truncated
+        nclasses = 16
+        weight = jnp.asarray(rng.randn(hlen, nclasses).astype(np.float32))
+        seg = init_one_shot_segmentor(jax.random.PRNGKey(1), nclasses, 5,
+                                      "XXS")
+
+        z = project_feature_maps(feats, weight, hlen=hlen)
+        want = one_shot_segmentor_apply(seg, z, "XXS")
+        got = project_segment_single_conv(
+            feats, weight, seg[0]["weight"], seg[0]["bias"], hlen=hlen
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_swav_clustering_loads_reference_artifacts(tmp_path):
+    """evaluate-mode SwAVClustering picks up reference prototypes.pt/
+    projection.pt automatically (swav_clustering.py:79-89 semantics)."""
+    import os
+
+    import jax
+
+    torch = pytest.importorskip("torch")
+    from ganecdotes_tpu.models.stylegan2.generator import Generator
+    from ganecdotes_tpu.selfsup.swav import SwAVClustering
+
+    hlen, ncls, nproto = 3584, 8, 16
+    torch.manual_seed(0)
+    torch.save(torch.nn.Linear(ncls, nproto),
+               os.path.join(str(tmp_path), "prototypes.pt"))
+    torch.save(torch.nn.Sequential(torch.nn.Linear(hlen, ncls, bias=False)),
+               os.path.join(str(tmp_path), "projection.pt"))
+
+    class _MC:
+        truncation = 0.7
+        latent_dim = 512
+        image_size = 32
+        num_latents_for_mean = 8
+
+    swav = SwAVClustering(
+        model=Generator(size=32, key=jax.random.PRNGKey(0)),
+        model_config=_MC(),
+        perturb_args=dict(truncation=0.7, n_layers=2, n_samples=1,
+                          layer_no=None, perturb_std=[1.0, 1.0]),
+        swav_args=dict(projn_nw="linear", nclasses=ncls, nprototypes=nproto,
+                       hlen=hlen, hf_interp="nearest"),
+        sinkhorn_args=dict(source_pdf="uniform", niters=2, eps=0.05),
+        out_dir=str(tmp_path), train=False,
+    )
+    assert swav.ssl_params is not None
+    assert swav.ssl_params["projection"][0]["weight"].shape == (hlen, ncls)
+    # and predictions run end-to-end off the imported params
+    preds, labels = swav.predict_swav_codes(
+        jax.random.normal(jax.random.PRNGKey(1), (1, 512)),
+        input_is_latent=False,
+    )
+    assert preds.shape == (1, 32, 32, ncls)
+    assert labels.shape == (1, 32, 32)
