@@ -479,12 +479,20 @@ class OneShotPipeline:
         return np.clip(np.asarray(im), -1.0, 1.0) * 0.5 + 0.5
 
     def _make_infer_fn(self):
-        """ONE jitted batched generate→embed→segment program per method."""
+        """ONE jitted batched generate→embed→segment program per method.
+
+        ``model_config.inference_dtype = 'bfloat16'`` opts the whole program
+        into bf16 (the benched MXU configuration); the default stays fp32
+        for bit-level parity with converted reference checkpoints.
+        """
         meta = self.model.meta
         truncation = self.model_config.truncation
         mean_latent = self.mean_latent
         seg_size = self.seg_size
         seg_str = self.seg_str
+        dtype = getattr(self.model_config, "inference_dtype", None)
+        if isinstance(dtype, str):
+            dtype = jnp.dtype(dtype).type
 
         if "hfc_with_swav" in seg_str or seg_str == "hfc_with_simclr":
             pre = self.preprocessor
@@ -521,7 +529,7 @@ class OneShotPipeline:
                             gen_params, meta, [latents], input_is_latent=True,
                             truncation=truncation,
                             truncation_latent=mean_latent,
-                            randomize_noise=False,
+                            randomize_noise=False, dtype=dtype,
                         )
                         logits = project_segment_single_conv(
                             feats, proj_w, seg_params[0]["weight"],
@@ -617,7 +625,7 @@ class OneShotPipeline:
                 _, feats = generator_forward(
                     gen_params, meta, [w_plus], input_is_latent=True,
                     truncation=p_trunc, truncation_latent=pre_mean,
-                    randomize_noise=False,
+                    randomize_noise=False, dtype=dtype,
                 )
                 groups = group_features_by_block(feats, skip_const=True)
                 z, _ = hfc_predict_from_features(
@@ -629,7 +637,7 @@ class OneShotPipeline:
                 img, _ = generator_forward(
                     gen_params, meta, [latents], input_is_latent=True,
                     truncation=truncation, truncation_latent=mean_latent,
-                    randomize_noise=False,
+                    randomize_noise=False, dtype=dtype,
                 )
                 return img, jnp.argmax(logits, axis=-1)
 
@@ -644,7 +652,7 @@ class OneShotPipeline:
             img, feats = generator_forward(
                 gen_params, meta, [latents], input_is_latent=True,
                 truncation=truncation, truncation_latent=mean_latent,
-                randomize_noise=False,
+                randomize_noise=False, dtype=dtype,
             )
             z = embed(gen_params, feats)
             if is_mlp:
@@ -781,7 +789,8 @@ class OneShotPipeline:
             pred = jax.block_until_ready(pred)
             inference_times.append(time.time() - t0)
             pred_labels.append(np.asarray(pred))
-            test_images.append(np.asarray(img))
+            # bf16 inference: metrics/collages run on host float32
+            test_images.append(np.asarray(img, dtype=np.float32))
 
             # per-batch artifacts, as the reference's test loop (:636-668):
             # cluster-map figure + TensorBoard images

@@ -314,3 +314,26 @@ def test_swav_plot_test_images(tmp_path):
     swav.pretrain()
     assert os.path.exists(os.path.join(str(tmp_path), "swav",
                                        "test_epoch_0.png"))
+
+
+@pytest.mark.slow
+def test_pipeline_inference_dtype_bf16(tmp_path, tiny_configs):
+    """model_config.inference_dtype='bfloat16' runs the whole test block in
+    bf16 (the benched MXU configuration) end-to-end."""
+    from ganecdotes_tpu.pipeline.one_shot_pipeline import OneShotPipeline
+
+    model_cfg = tmp_path / "model_bf16_config.py"
+    model_cfg.write_text(
+        open(tiny_configs["model"]).read()
+        + "\ninference_dtype = 'bfloat16'\n"
+    )
+    out = str(tmp_path / "out_bf16")
+    pipe = OneShotPipeline(
+        out_dir=out, model="ffhq-256", segmentor="hfc_with_swav",
+        num_test_samples=2,
+        custom={"model": str(model_cfg),
+                "trainer": tiny_configs["trainer"],
+                "seg": tiny_configs["swav"]},
+    )
+    pipe.run_pipeline()
+    assert pipe.mean_mask_iou >= 0.0
