@@ -214,6 +214,7 @@ class BagGANHQ(GANBaseModel):
         )
 
         self.key = jax.random.PRNGKey(seed)
+        self._host_rng = np.random.RandomState(seed)
         self.key, kg, kd = jax.random.split(self.key, 3)
 
         size = config.image_size
@@ -288,11 +289,28 @@ class BagGANHQ(GANBaseModel):
         use_aug = getattr(cfg, "augment", False)
         gan_mode = cfg.gan_mode
 
+        n_latent = meta["n_latent"]
+
         def synth(g_params, latents, key, inject_index):
+            # build the (possibly style-mixed) w+ here with a TRACED
+            # inject_index: a where() over a static arange instead of the
+            # repeat/concat in generator_forward, whose static index would
+            # recompile d_step/g_step on every random mixing draw (~70 s/it)
+            from ganecdotes_tpu.models.stylegan2.generator import (
+                mapping_apply,
+            )
+
+            ws = [mapping_apply(g_params, z) for z in latents]
+            if len(ws) == 1:
+                lat = jnp.repeat(ws[0][:, None, :], n_latent, axis=1)
+            else:
+                rows = jnp.arange(n_latent)[None, :, None]
+                lat = jnp.where(
+                    rows < inject_index, ws[0][:, None, :], ws[1][:, None, :]
+                )
             return generator_forward(
-                g_params, meta, latents, input_is_latent=False,
-                randomize_noise=True, noise_key=key,
-                inject_index=inject_index, return_latents=True,
+                g_params, meta, [lat], input_is_latent=True,
+                randomize_noise=True, noise_key=key, return_latents=True,
             )
 
         def d_loss_fn(d_params, fake_img, real_img, ada_p, key):
@@ -409,11 +427,11 @@ class BagGANHQ(GANBaseModel):
                 new_mean,
             )
 
-        # inject_index drives a static repeat count -> static arg (few values,
-        # each cached)
-        self._d_step = jax.jit(d_step, static_argnums=(7,))
+        # inject_index is traced (see synth): one compiled variant per
+        # latent-list structure, no per-draw recompiles
+        self._d_step = jax.jit(d_step)
         self._r1_step = jax.jit(r1_step)
-        self._g_step = jax.jit(g_step, static_argnums=(6,))
+        self._g_step = jax.jit(g_step)
         self._ppl_step = jax.jit(ppl_step)
 
     # ------------------------------------------------------------------
@@ -437,15 +455,16 @@ class BagGANHQ(GANBaseModel):
             )
 
         if latent is None:
-            self.key, kz, km = jax.random.split(self.key, 3)
+            self.key, kz = jax.random.split(self.key)
             mix = getattr(cfg, "mixing_prob", 0.0)
-            if mix > 0 and float(jax.random.uniform(km, ())) < mix:
+            # mixing coin + inject index drawn on the HOST: a per-iteration
+            # device scalar readback stalls the step pipeline
+            if mix > 0 and self._host_rng.uniform() < mix:
                 z = jax.random.normal(kz, (2, self.bsize, self.latent_size))
                 self.input_latent = [z[0], z[1]]
-                self.key, ki = jax.random.split(self.key)
                 # ref random.randint(1, n_latent-1) is INCLUSIVE of both ends
                 self.inject_index = int(
-                    jax.random.randint(ki, (), 1, self.gen_meta["n_latent"])
+                    self._host_rng.randint(1, self.gen_meta["n_latent"])
                 )
             else:
                 self.input_latent = [
@@ -479,7 +498,8 @@ class BagGANHQ(GANBaseModel):
         (self.disc_params, self.opt_d_state, self.loss_d,
          (self.loss_d_out, self.loss_d_ref, pred_real), fake_img) = self._d_step(
             self.disc_params, self.opt_d_state, self.generator_params,
-            self.ref_image, self.input_latent, kd, ada_p, self.inject_index,
+            self.ref_image, self.input_latent, kd, ada_p,
+            jnp.asarray(self.inject_index or 0, jnp.int32),
         )
 
         if getattr(cfg, "augment", False) and getattr(cfg, "augment_p", 0) == 0:
@@ -495,7 +515,8 @@ class BagGANHQ(GANBaseModel):
 
         self.generator_params, self.opt_g_state, self.loss_g_gan = self._g_step(
             self.generator_params, self.opt_g_state, self.disc_params,
-            self.input_latent, kg, ada_p, self.inject_index,
+            self.input_latent, kg, ada_p,
+            jnp.asarray(self.inject_index or 0, jnp.int32),
         )
         self.loss_g = self.loss_g_gan
 
