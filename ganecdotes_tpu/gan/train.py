@@ -239,7 +239,6 @@ class BagGANHQ(GANBaseModel):
         self.latent_size = config.latent_dim
         self.mean_path_length = jnp.asarray(0.0)
         self.ada_state = ada_init_state(getattr(config, "augment_p", 0) or 0.0)
-        self.r_t_stat = 0.0
         self.iter_no = 0
 
         if self.is_train:
@@ -280,6 +279,11 @@ class BagGANHQ(GANBaseModel):
     @property
     def ada_aug_p(self):
         return float(self.ada_state["p"])
+
+    @property
+    def r_t_stat(self):
+        # read lazily: syncing this per iteration stalls the step pipeline
+        return float(self.ada_state["r_t"])
 
     def _build_steps(self):
         cfg = self.config
@@ -333,8 +337,11 @@ class BagGANHQ(GANBaseModel):
                 loss = loss_d_out + loss_d_ref
             return loss, (loss_d_out, loss_d_ref, pred_real)
 
-        def d_step(d_params, opt_state, g_params, real_img, z, key, ada_p,
+        tune_ada = use_aug and (getattr(cfg, "augment_p", 0) or 0) == 0
+
+        def d_step(d_params, opt_state, g_params, real_img, z, key, ada_state,
                    inject_index):
+            ada_p = ada_state["p"]
             kz, kd = jax.random.split(key)
             fake_img, _ = synth(g_params, z, kz, inject_index)
             fake_img = jax.lax.stop_gradient(fake_img)
@@ -343,7 +350,13 @@ class BagGANHQ(GANBaseModel):
             )
             updates, opt_state = self.optimizer_d.update(grads, opt_state, d_params)
             d_params = optax.apply_updates(d_params, updates)
-            return d_params, opt_state, loss, aux, fake_img
+            if tune_ada:
+                # ADA controller folded into the jitted step: a host-side
+                # update costs a device round-trip per iteration
+                ada_state = ada_update(
+                    ada_state, aux[2], cfg.ada_target, cfg.ada_length, 8
+                )
+            return d_params, opt_state, loss, aux, fake_img, ada_state
 
         def r1_step(d_params, opt_state, real_img, key, ada_p):
             def loss_fn(d_params_inner):
@@ -496,17 +509,12 @@ class BagGANHQ(GANBaseModel):
         ada_p = self.ada_state["p"]
 
         (self.disc_params, self.opt_d_state, self.loss_d,
-         (self.loss_d_out, self.loss_d_ref, pred_real), fake_img) = self._d_step(
+         (self.loss_d_out, self.loss_d_ref, pred_real), fake_img,
+         self.ada_state) = self._d_step(
             self.disc_params, self.opt_d_state, self.generator_params,
-            self.ref_image, self.input_latent, kd, ada_p,
+            self.ref_image, self.input_latent, kd, self.ada_state,
             jnp.asarray(self.inject_index or 0, jnp.int32),
         )
-
-        if getattr(cfg, "augment", False) and getattr(cfg, "augment_p", 0) == 0:
-            self.ada_state = ada_update(
-                self.ada_state, pred_real, cfg.ada_target, cfg.ada_length, 8
-            )
-            self.r_t_stat = float(self.ada_state["r_t"])
 
         if self.iter_no % cfg.d_reg_every == 0:
             self.disc_params, self.opt_d_state, self.loss_d_r1 = self._r1_step(
