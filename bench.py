@@ -49,10 +49,10 @@ PEAK_FLOPS = {
 }
 
 
-def _flagship(key):
+def _flagship(key, size=256):
     from ganecdotes_tpu.models.stylegan2.generator import Generator
 
-    return Generator(size=256, key=key)
+    return Generator(size=size, key=key)
 
 
 def build(batch, dtype, method="swav"):
@@ -65,7 +65,7 @@ def build(batch, dtype, method="swav"):
 
     key = jax.random.PRNGKey(0)
     kg, ks, kh, kz = jax.random.split(key, 4)
-    g = _flagship(kg)
+    g = _flagship(kg, size=512 if method == "swav512" else 256)
     meta = g.meta
     mean_w = jnp.zeros((1, 512))
 
@@ -91,7 +91,26 @@ def build(batch, dtype, method="swav"):
                 feats, ssl_params["projection"][0]["weight"],
                 seg_params[0]["weight"], seg_params[0]["bias"], hlen=4864,
             )
-            return jnp.argmax(logits, axis=-1)
+            # return the image too: "generate+segment" must pay for the
+            # ToRGB skip chain — returning only labels lets XLA DCE it
+            return img, jnp.argmax(logits, axis=-1)
+
+    elif method == "swav512":
+        # car-512 configuration (BASELINE config #4): deeper pyramid
+        # (15 levels, hlen=5376), XS head over the 512-wide embedding
+        from ganecdotes_tpu.selfsup.embed import project_feature_maps
+        from ganecdotes_tpu.selfsup.swav import init_swav_params
+
+        ssl = init_swav_params(ks, 5376, 512, 5000, "linear")
+        seg = init_one_shot_segmentor(kh, 512, 12, "XS")
+
+        def fn(gen_params, ssl_params, seg_params, latents):
+            img, feats = synth(gen_params, latents)
+            z = project_feature_maps(
+                feats, ssl_params["projection"][0]["weight"], hlen=5376
+            )
+            logits = one_shot_segmentor_apply(seg_params, z, "XS")
+            return img, jnp.argmax(logits, axis=-1)
 
     elif method == "simclr":
         from ganecdotes_tpu.selfsup.simclr import (
@@ -113,7 +132,7 @@ def build(batch, dtype, method="swav"):
 
             z = jax.vmap(one)(feats)
             logits = one_shot_segmentor_apply(seg_params, z, "XS")
-            return jnp.argmax(logits, axis=-1)
+            return img, jnp.argmax(logits, axis=-1)
 
     elif method == "hfc_kmeans":
         from ganecdotes_tpu.selfsup.augmentor import group_features_by_block
@@ -141,7 +160,7 @@ def build(batch, dtype, method="swav"):
                 groups[:n_layers], centers, cpl, 256, hier_encode=False
             )
             logits = one_shot_segmentor_apply(seg_params, z, "S")
-            return jnp.argmax(logits, axis=-1)
+            return img, jnp.argmax(logits, axis=-1)
 
     else:
         raise ValueError(method)
@@ -166,7 +185,10 @@ def timed(jfn, args, iters=20):
     def prog(params, latents):
         def body(i, s):
             o = jfn(*params, latents + i * 1e-9)
-            return s + jax.tree.leaves(o)[0].astype(jnp.float32).mean()
+            # every output leaf feeds the accumulator so none is DCE'd
+            return s + sum(
+                x.astype(jnp.float32).mean() for x in jax.tree.leaves(o)
+            )
         return jax.lax.fori_loop(0, iters, body, 0.0)
 
     float(prog(params, latents))  # compile + warm
@@ -187,7 +209,7 @@ def flops_of(jfn, args):
         return None
 
 
-def sweep(method="swav", iters=20):
+def sweep(method="swav", iters=20, start=32):
     """Double the batch until throughput regresses, then probe the 1.5×
     midpoint below the regression point (no chip-specific magic numbers)."""
     results = {}
@@ -209,10 +231,10 @@ def sweep(method="swav", iters=20):
             results[b] = (0.0, None, None)
         return results[b]
 
-    b = 32
+    b = start
     while b <= 1024:
         tput = measure(b)[0]
-        if tput <= 0 or (b > 32 and tput < results[b // 2][0]):
+        if tput <= 0 or (b > start and tput < results[b // 2][0]):
             break
         b *= 2
     best_b = max(results, key=lambda k: results[k][0])
@@ -312,10 +334,11 @@ def main():
         "finetune_s": round(finetune_northstar(), 2),
         "finetune_target_s": 60.0,
     }
-    for method, key in (("simclr", "simclr_img_per_s"),
-                        ("hfc_kmeans", "hfc_kmeans_img_per_s")):
+    for method, key, start in (("simclr", "simclr_img_per_s", 32),
+                               ("hfc_kmeans", "hfc_kmeans_img_per_s", 32),
+                               ("swav512", "car512_img_per_s", 8)):
         try:
-            mb, (mt, _, _) = sweep(method, iters=10)
+            mb, (mt, _, _) = sweep(method, iters=10, start=start)
             extra[key] = round(mt, 1)
             extra[key.replace("_img_per_s", "_batch")] = mb
         except Exception:

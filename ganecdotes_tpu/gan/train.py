@@ -442,10 +442,40 @@ class BagGANHQ(GANBaseModel):
 
         # inject_index is traced (see synth): one compiled variant per
         # latent-list structure, no per-draw recompiles
-        self._d_step = jax.jit(d_step)
-        self._r1_step = jax.jit(r1_step)
-        self._g_step = jax.jit(g_step)
-        self._ppl_step = jax.jit(ppl_step)
+        if getattr(cfg, "data_parallel", False) and jax.device_count() > 1:
+            # data-parallel SPMD over the device mesh: params/opt-states/ADA
+            # replicated, image+latent batches sharded on 'data'. The batch-
+            # mean losses make XLA insert the gradient psum over ICI — the
+            # TPU-native form of the reference's DDP wrap + guarded
+            # all_reduce (gan_util.py:154-160, lib/gan/ada.py:15-25).
+            # Batch size must be a multiple of the device count.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ganecdotes_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+            repl = NamedSharding(mesh, P())
+            bsh = NamedSharding(mesh, P("data"))
+            self.mesh = mesh
+            self._d_step = jax.jit(
+                d_step,
+                in_shardings=(repl, repl, repl, bsh, bsh, repl, repl, repl),
+            )
+            self._r1_step = jax.jit(
+                r1_step, in_shardings=(repl, repl, bsh, repl, repl)
+            )
+            self._g_step = jax.jit(
+                g_step, in_shardings=(repl, repl, repl, bsh, repl, repl, repl)
+            )
+            self._ppl_step = jax.jit(
+                ppl_step, in_shardings=(repl, repl, bsh, repl, repl)
+            )
+        else:
+            self.mesh = None
+            self._d_step = jax.jit(d_step)
+            self._r1_step = jax.jit(r1_step)
+            self._g_step = jax.jit(g_step)
+            self._ppl_step = jax.jit(ppl_step)
 
     # ------------------------------------------------------------------
 

@@ -1,4 +1,5 @@
 from ganecdotes_tpu.parallel.mesh import (
+    distributed_init,
     make_mesh,
     shard_batch,
     replicate,

@@ -20,6 +20,39 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def distributed_init(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Initialize multi-host JAX (TPU pod slices / multi-process CPU).
+
+    The TPU-native replacement for the reference's
+    ``torch.distributed.init_process_group`` path implied by its DDP branch
+    (models/baggan/gan_util.py:154-160) and ``local_rank`` config stub.
+    On Cloud TPU pods all three arguments are auto-detected from the
+    environment; pass them explicitly for other launchers. Safe to call
+    when already initialized (no-op) or on a single process with no
+    coordinator configured (returns False).
+
+    After this, ``jax.devices()`` spans every host's chips, so ``make_mesh``
+    builds a global mesh: DCN links processes, ICI links chips within a
+    host — shardings over the 'data' axis keep the heavy collectives on ICI.
+    """
+    if jax.process_count() > 1:
+        return True  # already initialized
+    kw = {}
+    if coordinator_address is not None:
+        kw["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kw["num_processes"] = int(num_processes)
+    if process_id is not None:
+        kw["process_id"] = int(process_id)
+    try:
+        jax.distributed.initialize(**kw)
+        return True
+    except (ValueError, RuntimeError):
+        # single-process run with no coordinator: stay local
+        return False
+
+
 def make_mesh(n_devices=None, axis="data"):
     devices = jax.devices()
     if n_devices is not None:

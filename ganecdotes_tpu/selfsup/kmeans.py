@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ganecdotes_tpu.ops.interp import resize_nearest
+from ganecdotes_tpu.ops.interp import _nearest_indices, resize_nearest
 from ganecdotes_tpu.selfsup.augmentor import (
     block_row_std,
     group_features_by_block,
@@ -107,6 +107,45 @@ def kmeans_fit(x, k, key, n_init=10, max_iter=300, init_centers=None):
     return best_centers
 
 
+def _resize_labels(labels, out_size):
+    """Nearest-resize an int (B, h, w) label map via row/col gathers."""
+    b, h, w = labels.shape
+    if (h, w) == (out_size, out_size):
+        return labels
+    ri = jnp.asarray(_nearest_indices(h, out_size))
+    ci = jnp.asarray(_nearest_indices(w, out_size))
+    return labels[:, ri][:, :, ci]
+
+
+def import_sklearn_clusterer(path):
+    """Reference ``clusterer_layer_{n}.sav`` (pickled sklearn KMeans,
+    ref hfc_kmeans_clustering.py:121-123) -> (k, d) cluster centers.
+
+    Prediction parity is exact: sklearn's ``predict`` is the same
+    argmin-of-squared-distance as ``kmeans_predict`` over these centers."""
+    import pickle
+
+    with open(path, "rb") as f:
+        obj = pickle.load(f)
+    return jnp.asarray(np.asarray(obj.cluster_centers_, dtype=np.float32))
+
+
+def load_belief_file(path):
+    """beliefs.npz -> list of (k_prev, k_curr) float32 belief matrices.
+
+    Accepts both this repo's layout (one entry per matrix, arr_0..arr_N)
+    and the reference's (ONE positional entry holding the whole python list,
+    ``np.savez_compressed(belief_file, self.trained_beliefs)``,
+    ref segmentor.py:163 — an object array when layer shapes differ)."""
+    data = np.load(path, allow_pickle=True)
+    files = sorted(data.files, key=lambda s: (len(s), s))  # arr_2 < arr_10
+    if len(files) == 1:
+        arr = data[files[0]]
+        if arr.dtype == object or arr.ndim == 3:
+            return [jnp.asarray(np.asarray(b, dtype=np.float32)) for b in arr]
+    return [jnp.asarray(np.asarray(data[f], dtype=np.float32)) for f in files]
+
+
 @functools.partial(jax.jit, static_argnames=())
 def kmeans_predict(x, centers):
     d2 = (
@@ -141,6 +180,11 @@ class BaseHFCModel:
             os.path.join(self.out_dir, f"clusterer_layer_{n}.npz")
             for n in range(self.n_layer)
         ]
+        # reference-format sklearn pickles (hfc_kmeans_clustering.py:42-43)
+        self.sav_fpaths = [
+            os.path.join(self.out_dir, f"clusterer_layer_{n}.sav")
+            for n in range(self.n_layer)
+        ]
         self.stats_file = os.path.join(self.out_dir, "model_stats.npz")
 
         self.means = [None] * len(self.clusters_per_layer)
@@ -148,15 +192,7 @@ class BaseHFCModel:
         self.centers = [None] * self.n_layer
 
         if self.presaved:
-            if all(os.path.exists(fp) for fp in self.model_fpaths):
-                self.centers = [
-                    jnp.asarray(np.load(fp)["centers"]) for fp in self.model_fpaths
-                ]
-            else:
-                raise FileNotFoundError(
-                    "Models not found - use BaseHFCModel.fit() to create "
-                    "model first!"
-                )
+            self.ensure_centers()
 
     def _log(self, msg):
         (self.logger.info if self.logger else print)(msg)
@@ -181,18 +217,25 @@ class BaseHFCModel:
 
     def ensure_centers(self):
         """Lazy-load presaved clusterers (friendlier than the reference,
-        which requires presaved=True at construction)."""
+        which requires presaved=True at construction).
+
+        Per layer, prefers this repo's ``clusterer_layer_{n}.npz`` and falls
+        back to the reference's pickled-sklearn ``clusterer_layer_{n}.sav``
+        (ref :42-63), so reference-trained artifacts load directly."""
         if not any(c is None for c in self.centers):
             return
-        if all(os.path.exists(fp) for fp in self.model_fpaths):
-            self.centers = [
-                jnp.asarray(np.load(fp)["centers"]) for fp in self.model_fpaths
-            ]
-        else:
-            raise FileNotFoundError(
-                "Models not found - use BaseHFCModel.fit() to create "
-                "model first!"
-            )
+        centers = []
+        for npz_fp, sav_fp in zip(self.model_fpaths, self.sav_fpaths):
+            if os.path.exists(npz_fp):
+                centers.append(jnp.asarray(np.load(npz_fp)["centers"]))
+            elif os.path.exists(sav_fp):
+                centers.append(import_sklearn_clusterer(sav_fp))
+            else:
+                raise FileNotFoundError(
+                    "Models not found - use BaseHFCModel.fit() to create "
+                    "model first!"
+                )
+        self.centers = centers
 
     def predict(self, hidden_feat):
         """-> (cluster one-hot maps (B, out, out, Σk), per-layer label maps)."""
@@ -217,8 +260,9 @@ class BaseHFCModel:
         labels = kmeans_predict(self._features_to_matrix(feat), self.centers[n])
         labels = labels.reshape(b, h, w)
         k = self.clusters_per_layer[n]
-        onehot = jax.nn.one_hot(labels, k)  # (B, h, w, k)
-        onehot = resize_nearest(onehot, (self.out_size, self.out_size))
+        # label-map gather resize, then one-hot (see hfc_predict_from_features)
+        lab_up = _resize_labels(labels, self.out_size)
+        onehot = jax.nn.one_hot(lab_up, k)  # (B, out, out, k)
         return labels[:, None, :, :], onehot  # labels kept (B,1,h,w)-shaped
 
 
@@ -302,10 +346,8 @@ class LegacyHierarchicalKMeansHFC(BaseHFCModel):
 
     def _onehot_maps(self, labels, n, h, w):
         b = labels.shape[0]
-        onehot = jax.nn.one_hot(
-            labels.reshape(b, h, w), self.clusters_per_layer[n]
-        )
-        return resize_nearest(onehot, (self.out_size, self.out_size))
+        lab_up = _resize_labels(labels.reshape(b, h, w), self.out_size)
+        return jax.nn.one_hot(lab_up, self.clusters_per_layer[n])
 
     def fit(self, hidden_feat):
         assert len(hidden_feat) == self.n_layer
@@ -423,15 +465,19 @@ def hfc_predict_from_features(groups, centers, clusters_per_layer, out_size,
     stays one device program for hfc_kmeans too.
     """
     cluster_maps, cluster_labels = [], []
+    dt = groups[0].dtype
     for n, (feat, c) in enumerate(zip(groups, centers)):
         b, h, w, _ = feat.shape
         labels = kmeans_predict(feat.reshape(-1, feat.shape[-1]), c)
         labels = labels.reshape(b, h, w)
-        onehot = resize_nearest(
-            jax.nn.one_hot(labels, clusters_per_layer[n]),
-            (out_size, out_size),
-        )
-        cluster_maps.append(onehot)
+        # resize the integer label map, THEN one-hot: identical result
+        # (nearest resize commutes with per-pixel one-hot) but the resize is
+        # a channel-free gather — resizing the one-hot materializes tiny-
+        # channel f32 maps that XLA's (8,128) tiling pads up to 32×
+        # (measured: OOM at batch 96 on a 16 GB chip; this form reaches 128+)
+        lab_up = _resize_labels(labels, out_size)
+        cluster_maps.append(jax.nn.one_hot(lab_up, clusters_per_layer[n],
+                                           dtype=dt))
         cluster_labels.append(labels[:, None, :, :])
     out_preds = jnp.concatenate(cluster_maps, axis=-1)
 
@@ -549,10 +595,7 @@ class HFCPreprocessor:
         """Materialize centers + beliefs so inference is pure array math."""
         self.hfc_model.ensure_centers()
         if self.hier_encode and self.trained_beliefs is None and not self.train:
-            data = np.load(self.belief_file, allow_pickle=False)
-            self.trained_beliefs = [
-                jnp.asarray(data[f]) for f in sorted(data.files)
-            ]
+            self.trained_beliefs = load_belief_file(self.belief_file)
 
     def predict_hfc_vectors(self, input_latent):
         """(features (B, out, out, C) in [-1, 1], labels) — ref :169-230."""

@@ -40,6 +40,54 @@ def save_pytree(path, tree):
     np.savez_compressed(path, **_flatten(tree))
 
 
+# ---------------------------------------------------------------------------
+# orbax backend — multi-host / sharded checkpoints
+# ---------------------------------------------------------------------------
+#
+# The .npz format above is the portable single-file default. For multi-chip /
+# multi-host runs (params sharded over a Mesh), orbax writes each shard from
+# its owning host and restores with the target sharding — the TPU-native
+# equivalent of the reference's torch.save state_dicts (SURVEY.md §5
+# checkpoint/resume). Directory-per-step layout, async-safe, atomic.
+
+
+def save_pytree_orbax(path, tree):
+    """Save a pytree (possibly sharded jax.Arrays) to an orbax directory."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(_abs(path), tree, force=True)
+
+
+def load_pytree_orbax(path, like=None):
+    """Restore from an orbax directory.
+
+    ``like``: optional pytree of jax.ShapeDtypeStruct / arrays carrying the
+    target shardings, so a checkpoint written on one mesh restores onto
+    another (e.g. single-chip eval of a multi-chip training run)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is not None:
+            like = jax.tree.map(
+                lambda x: x
+                if isinstance(x, jax.ShapeDtypeStruct)
+                else jax.ShapeDtypeStruct(
+                    jnp.shape(x), jnp.result_type(x),
+                    sharding=getattr(x, "sharding", None),
+                ),
+                like,
+            )
+            return ckptr.restore(_abs(path), target=like)
+        return ckptr.restore(_abs(path))
+
+
+def _abs(path):
+    import os
+
+    return os.path.abspath(str(path))
+
+
 def load_pytree(path):
     data = dict(np.load(path, allow_pickle=False))
 

@@ -87,3 +87,13 @@ def test_dryrun_multichip_full_training_step():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_distributed_init_single_process_noop():
+    """With no coordinator configured, distributed_init stays local and
+    returns False (single-process run); the local device set is untouched."""
+    from ganecdotes_tpu.parallel.mesh import distributed_init
+
+    n_before = len(jax.devices())
+    assert distributed_init() is False
+    assert len(jax.devices()) == n_before

@@ -342,3 +342,56 @@ def test_swav_clustering_loads_reference_artifacts(tmp_path):
     )
     assert preds.shape == (1, 32, 32, ncls)
     assert labels.shape == (1, 32, 32)
+
+
+def test_import_sklearn_sav_clusterers(tmp_path):
+    """Reference-format clusterer_layer_{n}.sav pickles load with exact
+    prediction parity (hfc_kmeans_clustering.py:42-63,121-123 layout)."""
+    import os
+    import pickle
+
+    import jax
+
+    sklearn_cluster = pytest.importorskip("sklearn.cluster")
+    from ganecdotes_tpu.selfsup.kmeans import BaseHFCModel, kmeans_predict
+
+    rng = np.random.RandomState(0)
+    ks = [3, 5]
+    feats, skls = [], []
+    for n, k in enumerate(ks):
+        x = rng.randn(200, 8).astype(np.float32)
+        m = sklearn_cluster.KMeans(n_clusters=k, n_init=3, random_state=0).fit(x)
+        with open(os.path.join(str(tmp_path), f"clusterer_layer_{n}.sav"),
+                  "wb") as f:
+            pickle.dump(m, f)
+        feats.append(x)
+        skls.append(m)
+
+    model = BaseHFCModel(out_dir=str(tmp_path), n_layers=2,
+                         clusters_per_layer=ks, out_size=16, presaved=True)
+    for n, (x, m) in enumerate(zip(feats, skls)):
+        got = np.asarray(kmeans_predict(jnp.asarray(x), model.centers[n]))
+        np.testing.assert_array_equal(got, m.predict(x))
+
+
+def test_load_belief_file_both_formats(tmp_path):
+    """beliefs.npz loads from the repo layout (one entry per matrix) AND the
+    reference's single-object-array layout (segmentor.py:163)."""
+    import os
+
+    from ganecdotes_tpu.selfsup.kmeans import load_belief_file
+
+    rng = np.random.RandomState(1)
+    mats = [rng.rand(3, 4).astype(np.float32),
+            rng.rand(4, 6).astype(np.float32)]
+
+    repo_fp = os.path.join(str(tmp_path), "beliefs_repo.npz")
+    np.savez_compressed(repo_fp, *mats)
+    ref_fp = os.path.join(str(tmp_path), "beliefs_ref.npz")
+    np.savez_compressed(ref_fp, np.asarray(mats, dtype=object))
+
+    for fp in (repo_fp, ref_fp):
+        out = load_belief_file(fp)
+        assert len(out) == 2
+        for got, want in zip(out, mats):
+            np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)

@@ -51,6 +51,15 @@ def main():
     size = cfg.image_size
     chans = getattr(cfg, "num_channels", 3)
 
+    # multi-chip: shard the GAN steps over the data axis when the batch
+    # divides the device count (replicated params, psum'd grads over ICI)
+    if (
+        not hasattr(cfg, "data_parallel")
+        and jax.device_count() > 1
+        and cfg.batch_size % jax.device_count() == 0
+    ):
+        cfg.data_parallel = True
+
     gan = BagGANHQ(cfg)
     gan.setup_gan()
     gan.print_networks()
