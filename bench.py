@@ -28,7 +28,13 @@ numbers (BASELINE.json "published": {}).
                                 other two learner families;
   * batch                     — the peak batch found by the self-terminating
                                 sweep (doubling until throughput regresses,
-                                then a 1.5× midpoint probe).
+                                then a 1.5× midpoint probe);
+  * labels_only_img_per_s     — mask-only serving mode (no image output, so
+                                XLA drops the final convs + ToRGB chain;
+                                see docs/PERFORMANCE.md honesty correction).
+
+Set BENCH_TRACE_DIR=/tmp/trace to capture a jax.profiler trace of one
+headline step before the sweep (inspect with tensorboard/xprof).
 """
 
 import json
@@ -92,8 +98,30 @@ def build(batch, dtype, method="swav"):
                 seg_params[0]["weight"], seg_params[0]["bias"], hlen=4864,
             )
             # return the image too: "generate+segment" must pay for the
-            # ToRGB skip chain — returning only labels lets XLA DCE it
+            # full synthesis. hlen=4864 stops the embedding after the first
+            # 128² conv (reference create_pixel_feature_vectors semantics),
+            # so a labels-only program legally DCEs the last three convs +
+            # ToRGB chain (~half the FLOPs) — that mode is reported
+            # separately as labels_only_img_per_s, not as the headline.
             return img, jnp.argmax(logits, axis=-1)
+
+    elif method == "swav_labels_only":
+        # mask-only serving: no image output, so XLA drops everything past
+        # the last embedded feature level (legal because hlen=4864 uses
+        # layers 0-9 only). Honest ONLY as a separately-labeled mode.
+        from ganecdotes_tpu.selfsup.embed import project_segment_single_conv
+        from ganecdotes_tpu.selfsup.swav import init_swav_params
+
+        ssl = init_swav_params(ks, 4864, 512, 5000, "linear")
+        seg = init_one_shot_segmentor(kh, 512, 8, "XXS")
+
+        def fn(gen_params, ssl_params, seg_params, latents):
+            img, feats = synth(gen_params, latents)
+            logits = project_segment_single_conv(
+                feats, ssl_params["projection"][0]["weight"],
+                seg_params[0]["weight"], seg_params[0]["bias"], hlen=4864,
+            )
+            return jnp.argmax(logits, axis=-1)
 
     elif method == "swav512":
         # car-512 configuration (BASELINE config #4): deeper pyramid
@@ -242,6 +270,13 @@ def sweep(method="swav", iters=20, start=32):
     if results[best_b][0] > 0 and mid not in results:
         measure(mid)
     best_b = max(results, key=lambda k: results[k][0])
+    # drop non-best executables + argument buffers: holding every swept
+    # batch's program alive across methods exhausts HBM by the 4th sweep
+    # (observed: labels-only sweep died ResourceExhausted in-process but
+    # ran fine standalone)
+    for k in list(results):
+        if k != best_b:
+            results[k] = (results[k][0], None, None)
     return best_b, results[best_b]
 
 
@@ -315,6 +350,17 @@ def finetune_northstar():
 
 
 def main():
+    import os
+
+    trace_dir = os.environ.get("BENCH_TRACE_DIR")
+    if trace_dir:
+        # one profiled headline step (inspect with tensorboard / xprof)
+        jfn, args = build(32, jnp.bfloat16, "swav")
+        out = jfn(*args)
+        jax.block_until_ready(out)
+        with jax.profiler.trace(trace_dir):
+            jax.block_until_ready(jfn(*args))
+
     best_b, (best, jfn, args) = sweep("swav")
 
     flops = flops_of(jfn, args)
@@ -322,9 +368,10 @@ def main():
     peak = PEAK_FLOPS.get(kind)
     mfu = (flops * best / best_b) / peak if (flops and peak) else None
 
-    # reference-shaped configuration: unbatched, fp32
+    # reference-shaped configuration: unbatched, fp32 (long chain: batch-1
+    # programs are relay-noise dominated at short iteration counts)
     jfn1, args1 = build(1, None, "swav")
-    base = 1.0 / timed(jfn1, args1, iters=10)
+    base = 1.0 / timed(jfn1, args1, iters=50)
 
     extra = {
         "batch": best_b,
@@ -334,9 +381,13 @@ def main():
         "finetune_s": round(finetune_northstar(), 2),
         "finetune_target_s": 60.0,
     }
+    del jfn, args, jfn1, args1
     for method, key, start in (("simclr", "simclr_img_per_s", 32),
                                ("hfc_kmeans", "hfc_kmeans_img_per_s", 32),
-                               ("swav512", "car512_img_per_s", 8)):
+                               ("swav512", "car512_img_per_s", 8),
+                               ("swav_labels_only",
+                                "labels_only_img_per_s", 64)):
+        jax.clear_caches()  # free the previous method's compiled programs
         try:
             mb, (mt, _, _) = sweep(method, iters=10, start=start)
             extra[key] = round(mt, 1)

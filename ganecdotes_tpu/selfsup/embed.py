@@ -25,6 +25,7 @@ features (baseline/*/segmentor.py concat_features).
 """
 
 import jax.numpy as jnp
+import numpy as np
 
 from ganecdotes_tpu.ops.interp import (
     _nearest_indices,
@@ -190,7 +191,16 @@ def project_segment_single_conv(features, weight, head_w, head_b, hlen=None):
     if acc is not None:
         if acc.shape[1] != h // 2 or acc.shape[2] != w // 2:
             acc = resize_nearest(acc, (h // 2, w // 2))
-        # ... then one lhs-dilated conv replaces nearest-up2 + conv3x3
+        # ... then conv3x3∘nearest-up2 as ONE polyphase conv. The naive form
+        # is an lhs-dilated conv with the 4-tap combined kernel
+        # A·W·Aᵀ (A = [[1,0,0],[1,1,0],[0,1,1],[0,0,1]]) emitting C_out
+        # channels — 8 classes = 8/128 MXU output lanes. Decomposing by
+        # output parity instead: fine pixel (2i+dy, 2j+dx) reads coarse
+        # window (i-1..i+1, j-1..j+1) through a per-phase 3×3 kernel, so all
+        # four phases stack into one conv with 4·C_out output channels
+        # (4× the lane utilization, same math) + a depth-to-space reshape.
+        #   phase d=0 taps: [A·W row 0, A·W row 2, 0]  (window i-1, i)
+        #   phase d=1 taps: [0, A·W row 1, A·W row 3]  (window i, i+1)
         A = jnp.asarray(
             [[1, 0, 0], [1, 1, 0], [0, 1, 1], [0, 0, 1]], dtype=jnp.float32
         )
@@ -198,13 +208,27 @@ def project_segment_single_conv(features, weight, head_w, head_b, hlen=None):
             "at,bs,tsdo->abdo", A, A,
             head_w.astype(jnp.float32),
             preferred_element_type=jnp.float32,
-        ).astype(dt)
-        y = jax.lax.conv_general_dilated(
-            acc, wk, window_strides=(1, 1),
-            padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
+        )  # (4, 4, C_in, C_out), rows/cols indexed by combined tap
+        c_in, c_out = wk.shape[2], wk.shape[3]
+        # per-axis embed of the 4 combined taps into 3-tap phase kernels
+        #   E[d, k3, k4] = 1 where combined tap k4 (parity d) lands at
+        #   3-tap position k3 of phase d
+        E = np.zeros((2, 3, 4), dtype=np.float32)
+        E[0, 0, 0] = E[0, 1, 2] = 1.0  # d=0: taps 0,2 -> positions 0,1
+        E[1, 1, 1] = E[1, 2, 3] = 1.0  # d=1: taps 1,3 -> positions 1,2
+        E = jnp.asarray(E)
+        # (dy, dx, 3, 3, C_in, C_out) -> (3, 3, C_in, 4*C_out)
+        wp = jnp.einsum("yva,xwb,abdo->vwdyxo", E, E, wk)
+        wp = wp.reshape(3, 3, c_in, 4 * c_out).astype(dt)
+        yc = jax.lax.conv_general_dilated(
+            acc, wp, window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=dt,
-        )
+        )  # (B, h/2, w/2, 4*C_out)
+        b_, hh, ww = yc.shape[0], yc.shape[1], yc.shape[2]
+        yc = yc.reshape(b_, hh, ww, 2, 2, c_out)
+        y = yc.transpose(0, 1, 3, 2, 4, 5).reshape(b_, 2 * hh, 2 * ww, c_out)
         out = y if out is None else out + y
 
     return out + head_b.astype(dt)

@@ -209,11 +209,15 @@ class BaseHFCModel:
                 self.model_fpaths[n], centers=np.asarray(self.centers[n])
             )
             self._log(f"Fitted model for Layer {n}")
-        np.savez_compressed(
-            self.stats_file,
-            means=np.asarray([m if m is not None else 0 for m in self.means]),
-            stds=np.asarray([s if s is not None else 0 for s in self.stds]),
-        )
+        # per-layer means/stds have different channel widths -> object array
+        # (the reference saves the same ragged lists, loading with
+        # allow_pickle=True, hfc_kmeans_clustering.py:48-52,87-91)
+        means = np.empty(len(self.means), dtype=object)
+        stds = np.empty(len(self.stds), dtype=object)
+        for i, (m, s) in enumerate(zip(self.means, self.stds)):
+            means[i] = np.asarray(m if m is not None else 0)
+            stds[i] = np.asarray(s if s is not None else 0)
+        np.savez_compressed(self.stats_file, means=means, stds=stds)
 
     def ensure_centers(self):
         """Lazy-load presaved clusterers (friendlier than the reference,

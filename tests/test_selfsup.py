@@ -395,3 +395,26 @@ def test_load_belief_file_both_formats(tmp_path):
         assert len(out) == 2
         for got, want in zip(out, mats):
             np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
+def test_hfc_fit_ragged_layer_dims(tmp_path):
+    """fit() persists model_stats.npz when layers have different channel
+    widths (the real ffhq config; np.asarray on ragged lists raises in
+    modern numpy — caught live by the pretrain CLI)."""
+    import os
+
+    from ganecdotes_tpu.selfsup.kmeans import BaseHFCModel
+
+    rng = np.random.RandomState(0)
+    model = BaseHFCModel(out_dir=str(tmp_path), n_layers=2,
+                         clusters_per_layer=[2, 3], out_size=8)
+    feats = [jnp.asarray(rng.rand(1, 4, 4, 6).astype(np.float32)),
+             jnp.asarray(rng.rand(1, 8, 8, 10).astype(np.float32))]
+    model.fit(feats)
+
+    stats = np.load(os.path.join(str(tmp_path), "model_stats.npz"),
+                    allow_pickle=True)
+    assert stats["means"][0].shape == (6,)
+    assert stats["means"][1].shape == (10,)
+    preds, labels = model.predict(feats)
+    assert preds.shape == (1, 8, 8, 5)
