@@ -449,13 +449,10 @@ class BagGANHQ(GANBaseModel):
             # TPU-native form of the reference's DDP wrap + guarded
             # all_reduce (gan_util.py:154-160, lib/gan/ada.py:15-25).
             # Batch size must be a multiple of the device count.
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from ganecdotes_tpu.parallel.mesh import make_mesh
+            from ganecdotes_tpu.parallel.mesh import batch_shardings, make_mesh
 
             mesh = make_mesh()
-            repl = NamedSharding(mesh, P())
-            bsh = NamedSharding(mesh, P("data"))
+            repl, bsh = batch_shardings(mesh)
             self.mesh = mesh
             self._d_step = jax.jit(
                 d_step,

@@ -28,6 +28,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ganecdotes_tpu.nn.layers import (
     conv2d_nhwc,
@@ -396,8 +397,18 @@ class Generator:
         self.n_latent = self.meta["n_latent"]
         self.num_layers = self.meta["num_layers"]
         self._compiled = {}
-        # stateful stream for the reference's randomize_noise=True default
-        self._noise_key = jax.random.fold_in(key, 0x6E6F6973)  # "nois"
+        # stateful stream for the reference's randomize_noise=True default.
+        # Kept as a host numpy RNG producing raw (2,) uint32 key data: a
+        # legacy PRNG key is just that array, so fresh per-call keys cost
+        # ZERO eager device ops (jax.random.split on the host is itself a
+        # compiled dispatch — ~1 s through a TPU relay).
+        try:
+            key_data = jax.random.key_data(key)
+        except Exception:
+            key_data = key
+        self._noise_rng = np.random.RandomState(
+            int(np.asarray(key_data).ravel()[-1]) & 0x7FFFFFFF
+        )
 
     def style(self, z):
         return self._style_jit(self.params, jnp.asarray(z))
@@ -428,29 +439,33 @@ class Generator:
         """Forward through a cached jitted closure (one compile per static
         config + shape; op-by-op dispatch on TPU would be pathological).
 
-        Every path is jitted, including the reference's default
-        ``randomize_noise=True``: fresh per-layer noise is drawn on the host
-        from a stateful key (reference semantics: new noise each forward,
-        model.py:614-619) and passed as traced arguments, so noise shape —
-        not value — determines the compilation.
+        Every path is jitted with ZERO eager device ops per call, including
+        the reference's default ``randomize_noise=True`` (fresh noise each
+        forward, model.py:614-619): the per-call PRNG key is raw (2,) uint32
+        key data drawn from a host numpy RNG and passed as a traced
+        argument; the per-layer noise tensors are drawn *inside* the
+        compiled program. (An earlier version drew noise eagerly on the
+        host — ~num_layers dispatches/call, ~1 s each through a TPU relay.)
         """
         if not isinstance(styles, (list, tuple)):
             styles = [styles]
         styles = [jnp.asarray(s) for s in styles]
 
         noise = kwargs.get("noise")
-        if noise is None and kwargs.get("randomize_noise", True):
-            # generator_forward precedence: randomize_noise=False always
-            # means the fixed params['noises'] buffers, even with a key
-            if kwargs.get("noise_key") is not None:
-                noise = self.make_noise(
-                    kwargs["noise_key"], batch=styles[0].shape[0]
-                )
-            else:
-                self._noise_key, k = jax.random.split(self._noise_key)
-                noise = self.make_noise(k, batch=styles[0].shape[0])
+        nkey = None
         if noise is not None:
+            mode = "explicit"
             noise = tuple(jnp.asarray(x) for x in noise)
+        elif kwargs.get("randomize_noise", True):
+            mode = "random"
+            if kwargs.get("noise_key") is not None:
+                nkey = kwargs["noise_key"]
+            else:
+                nkey = self._noise_rng.randint(
+                    0, 2**32, size=(2,), dtype=np.uint32
+                )
+        else:
+            mode = "fixed"  # params['noises'] buffers
 
         trunc_lat = kwargs.get("truncation_latent")
         static = (
@@ -458,7 +473,7 @@ class Generator:
             kwargs.get("input_is_latent", False),
             float(kwargs.get("truncation", 1.0)),
             trunc_lat is not None,
-            noise is not None,
+            mode,
             kwargs.get("inject_index"),
             kwargs.get("return_latents", False),
             kwargs.get("dtype"),
@@ -476,25 +491,34 @@ class Generator:
                     ("dtype", None),
                 ]
             }
-            kw["randomize_noise"] = False  # noise arrives as traced args
 
-            if noise is None:  # fixed noise buffers from params
+            if mode == "explicit":
 
-                def fwd(params, styles, truncation_latent, _noise):
+                def fwd(params, styles, truncation_latent, noise, _nkey):
+                    return generator_forward(
+                        params, meta, list(styles), noise=list(noise),
+                        randomize_noise=False,
+                        truncation_latent=truncation_latent, **kw,
+                    )
+
+            elif mode == "random":
+
+                def fwd(params, styles, truncation_latent, _noise, nkey):
                     return generator_forward(
                         params, meta, list(styles),
+                        randomize_noise=True, noise_key=nkey,
                         truncation_latent=truncation_latent, **kw,
                     )
 
             else:
 
-                def fwd(params, styles, truncation_latent, noise):
+                def fwd(params, styles, truncation_latent, _noise, _nkey):
                     return generator_forward(
-                        params, meta, list(styles), noise=list(noise),
+                        params, meta, list(styles), randomize_noise=False,
                         truncation_latent=truncation_latent, **kw,
                     )
 
             fn = jax.jit(fwd)
             self._compiled[static] = fn
 
-        return fn(self.params, tuple(styles), trunc_lat, noise)
+        return fn(self.params, tuple(styles), trunc_lat, noise, nkey)

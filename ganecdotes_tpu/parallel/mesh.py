@@ -35,9 +35,13 @@ def distributed_init(coordinator_address=None, num_processes=None,
     After this, ``jax.devices()`` spans every host's chips, so ``make_mesh``
     builds a global mesh: DCN links processes, ICI links chips within a
     host — shardings over the 'data' axis keep the heavy collectives on ICI.
+
+    MUST run before any other JAX call: even ``jax.process_count()`` or
+    ``jax.devices()`` initializes the XLA backend, after which
+    ``jax.distributed.initialize`` refuses to run (verified live — an
+    earlier version of this helper guarded on process_count() and thereby
+    could never initialize anything).
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
     kw = {}
     if coordinator_address is not None:
         kw["coordinator_address"] = coordinator_address
@@ -48,9 +52,19 @@ def distributed_init(coordinator_address=None, num_processes=None,
     try:
         jax.distributed.initialize(**kw)
         return True
-    except (ValueError, RuntimeError):
-        # single-process run with no coordinator: stay local
+    except ValueError:
+        # no coordinator configured/detectable: single-process run
         return False
+    except RuntimeError as e:
+        msg = str(e)
+        if "once" in msg or "already" in msg:
+            return True  # a prior distributed_init already brought it up
+        # backend already initialized — a silent False here would let a
+        # "multi-host" job run as unsynchronized single hosts
+        raise RuntimeError(
+            "distributed_init must be the first JAX call in the process "
+            "(the XLA backend is already initialized)"
+        ) from e
 
 
 def make_mesh(n_devices=None, axis="data"):
@@ -64,6 +78,14 @@ def make_mesh(n_devices=None, axis="data"):
             )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_shardings(mesh, axis="data"):
+    """(replicated, batch-sharded) NamedSharding pair for jit annotations.
+
+    The one recipe every data-parallel call site uses: params/opt-state/RNG
+    replicated, leading batch axis split over ``axis``."""
+    return NamedSharding(mesh, P()), NamedSharding(mesh, P(axis))
 
 
 def shard_batch(mesh, x, axis="data"):

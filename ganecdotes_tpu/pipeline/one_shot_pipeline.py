@@ -698,10 +698,8 @@ class OneShotPipeline:
                 size,
             )
         )[0]
-        disp = np.clip(input_im, -1, 1)
-        disp_in = np.uint8(
-            (disp - disp.min()) / (disp.max() - disp.min() + 1e-12) * 255
-        )
+        # create_pil_collage min/max-normalizes non-uint8 inputs itself
+        disp_in = np.clip(input_im, -1, 1)
         one_shot_mask = np.asarray(
             resize_nearest(
                 jnp.asarray(self.one_shot_label)[..., None].astype(jnp.float32),
@@ -714,10 +712,7 @@ class OneShotPipeline:
 
         row_ims, row_preds = [], []
         for im, pred in zip(ims[0], ims[2]):
-            im = np.clip(im, -1, 1)
-            row_ims.append(
-                np.uint8((im - im.min()) / (im.max() - im.min() + 1e-12) * 255)
-            )
+            row_ims.append(np.clip(im, -1, 1))
             row_preds.append(
                 np.uint8(visualize_label_mask(pred, self.color_map) * 255)
             )
@@ -747,13 +742,10 @@ class OneShotPipeline:
         batch = MAX_TEST_BATCH
         n_dev = jax.device_count()
         if n_dev > 1 and hasattr(infer, "lower"):
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from ganecdotes_tpu.parallel.mesh import make_mesh
+            from ganecdotes_tpu.parallel.mesh import batch_shardings, make_mesh
 
             mesh = make_mesh()
-            repl = NamedSharding(mesh, P())
-            shard = NamedSharding(mesh, P("data"))
+            repl, shard = batch_shardings(mesh)
             batch = n_dev * max(1, MAX_TEST_BATCH // n_dev)
             # shard only the batch-sized outputs: the fused swav path also
             # returns a 1-sample cluster map, which must stay replicated
@@ -843,11 +835,8 @@ class OneShotPipeline:
                 )
             )[0, :, :, 0].astype(np.int64)
 
-            disp_im = np.clip(input_im, -1, 1)
-            disp8 = np.uint8(
-                (disp_im - disp_im.min())
-                / (disp_im.max() - disp_im.min() + 1e-12) * 255
-            )
+            # create_pil_collage min/max-normalizes non-uint8 inputs
+            disp8 = np.clip(input_im, -1, 1)
             create_pil_collage(
                 [
                     disp8,
@@ -995,5 +984,10 @@ class _TensorBoardShim:
         self.records.setdefault(tag, []).append((step, np.asarray(img).shape))
         if self._writer:
             img = np.asarray(img)
-            fmt = "HW" if img.ndim == 2 else ("HWC" if img.shape[-1] in (1, 3) else "CHW")
+            # trailing dim <=4 (1/2/3/4 channels) is HWC; anything wider is
+            # a CHW tensor (a bare (H,W,C>4) image would be mislabeled, but
+            # every caller here passes HW, HWC<=4, or torch-style CHW)
+            fmt = "HW" if img.ndim == 2 else (
+                "HWC" if img.shape[-1] <= 4 else "CHW"
+            )
             self._writer.add_image(tag, img, step, dataformats=fmt)

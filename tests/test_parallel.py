@@ -90,10 +90,32 @@ def test_dryrun_multichip_full_training_step():
 
 
 def test_distributed_init_single_process_noop():
-    """With no coordinator configured, distributed_init stays local and
-    returns False (single-process run); the local device set is untouched."""
+    """In a fresh process with no coordinator configured, distributed_init
+    returns False (single-process run). In a process whose XLA backend is
+    already initialized it must raise loudly — returning False there would
+    let a 'multi-host' job run as unsynchronized single hosts (the bug an
+    earlier guard-on-process_count() version had)."""
+    import subprocess
+    import sys
+
     from ganecdotes_tpu.parallel.mesh import distributed_init
 
-    n_before = len(jax.devices())
-    assert distributed_init() is False
-    assert len(jax.devices()) == n_before
+    # backend is initialized in the test process (jax.devices() ran) -> raise
+    with pytest.raises(RuntimeError, match="first JAX call"):
+        distributed_init()
+
+    # fresh subprocess, no backend touched -> clean False
+    code = (
+        "import sys;"
+        "sys.path[:] = [p for p in sys.path if '.axon_site' not in p];"
+        "import os; os.environ['JAX_PLATFORMS']='cpu';"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from ganecdotes_tpu.parallel.mesh import distributed_init;"
+        "assert distributed_init() is False;"
+        "print('fresh-ok')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120,
+    )
+    assert "fresh-ok" in out.stdout, out.stderr[-500:]
