@@ -265,10 +265,18 @@ def make_lr_schedule(swav_args, num_samples):
 
 
 def make_swav_train_step(gen_meta, model_config, perturb_args, swav_args,
-                         sinkhorn_args, mean_latent_w, image_hw):
+                         sinkhorn_args, mean_latent_w, image_hw,
+                         sample_batch=None):
     """Build the jitted SwAV step. Returns (optimizer, step_fn).
 
     step_fn(gen_params, ssl_params, opt_state, key, it) -> (params, opt, loss)
+
+    With ``sample_batch=n`` the step instead takes a (n,)-leading key array
+    and processes n independent samples per update (loss = mean over
+    samples) — the data-parallel SPMD form: shard the key axis over the
+    mesh's 'data' axis with replicated params and XLA inserts the gradient
+    psum over ICI (SURVEY §2(b); the reference's nearest knob is the unused
+    DDP wrap, gan_util.py:154-160).
     """
     h, w = image_hw
     npix = h * w
@@ -354,8 +362,9 @@ def make_swav_train_step(gen_meta, model_config, perturb_args, swav_args,
             total = total + patch_loss(pick_keys[i])
         return total / num_patches
 
-    def step(gen_params, ssl_params, opt_state, key, it):
-        del it
+    def sample_inputs(gen_params, key):
+        """Everything that does not depend on ssl_params: draw a fresh
+        sample, synthesize the two perturbed views, augment."""
         (k_lat, k_layer, k_vs, k_vt, k_as, k_at, k_picks) = jax.random.split(key, 7)
 
         # fresh training sample: w = style(randn) (swav_clustering.py:323-326)
@@ -365,8 +374,6 @@ def make_swav_train_step(gen_meta, model_config, perturb_args, swav_args,
         # returns is trunc(w) repeated n_latent times — computed directly here
         w_tr = mean_latent_w + truncation * (w_lat - mean_latent_w)
         w_plus = jnp.repeat(w_tr[:, None, :], gen_meta["n_latent"], axis=1)
-
-        ssl_params = normalize_prototypes(ssl_params)
 
         if fixed_layer is None:
             # the reference draws the perturbed block independently per view
@@ -390,18 +397,42 @@ def make_swav_train_step(gen_meta, model_config, perturb_args, swav_args,
             img_s = feature_norm_map(feats_s, hlen)
             img_t = feature_norm_map(feats_t, hlen)
         else:
-            img_s = img_t = None
+            img_s = img_t = jnp.zeros(())  # vmap needs an array placeholder
 
         pick_keys = jax.random.split(k_picks, num_patches)
-        loss, grads = jax.value_and_grad(loss_fn)(
-            ssl_params, feats_s, feats_t, img_s, img_t, pick_keys,
-            layer_s, layer_t,
-        )
-        updates, opt_state = optimizer.update(grads, opt_state, ssl_params)
-        ssl_params = optax.apply_updates(ssl_params, updates)
-        return ssl_params, opt_state, loss
+        return feats_s, feats_t, img_s, img_t, pick_keys, layer_s, layer_t
 
-    return optimizer, jax.jit(step)
+    def apply_update(ssl_params, opt_state, loss, grads):
+        updates, opt_state = optimizer.update(grads, opt_state, ssl_params)
+        return optax.apply_updates(ssl_params, updates), opt_state, loss
+
+    # the (zeros) img placeholder is ignored by sinkhorn_marginals unless
+    # source_pdf == 'image', so both steps pass it through unconditionally
+
+    def step(gen_params, ssl_params, opt_state, key, it):
+        del it
+        ssl_params = normalize_prototypes(ssl_params)
+        inp = sample_inputs(gen_params, key)
+        loss, grads = jax.value_and_grad(loss_fn)(ssl_params, *inp)
+        return apply_update(ssl_params, opt_state, loss, grads)
+
+    if sample_batch is None:
+        return optimizer, jax.jit(step)
+
+    def batch_step(gen_params, ssl_params, opt_state, keys, it):
+        del it
+        ssl_params = normalize_prototypes(ssl_params)
+        inputs = jax.vmap(lambda k: sample_inputs(gen_params, k))(keys)
+
+        def total_loss(ssl_params):
+            return jax.vmap(lambda inp: loss_fn(ssl_params, *inp))(
+                inputs
+            ).mean()
+
+        loss, grads = jax.value_and_grad(total_loss)(ssl_params)
+        return apply_update(ssl_params, opt_state, loss, grads)
+
+    return optimizer, jax.jit(batch_step)
 
 
 # ---------------------------------------------------------------------------
@@ -513,6 +544,14 @@ class SwAVClustering:
             k_init, sa["hlen"], sa["nclasses"], sa["nprototypes"], sa["projn_nw"]
         )
 
+        # multi-chip: process device_count independent samples per update,
+        # key axis sharded over the mesh, params replicated (grad psum over
+        # ICI). Opt-in (changes the effective sample batch vs the reference's
+        # strictly-sequential 1 sample/step budget).
+        n_par = 1
+        if sa.get("data_parallel", False) and jax.device_count() > 1:
+            n_par = jax.device_count()
+
         optimizer, step = make_swav_train_step(
             self.model.meta,
             self._model_config_dict(),
@@ -521,8 +560,22 @@ class SwAVClustering:
             self.sinkhorn_args,
             self.mean_latent,
             self._image_hw,
+            sample_batch=n_par if n_par > 1 else None,
         )
         opt_state = optimizer.init(self.ssl_params)
+
+        if n_par > 1:
+            from ganecdotes_tpu.parallel.mesh import batch_shardings, make_mesh
+
+            mesh = make_mesh()
+            repl, shard = batch_shardings(mesh)
+            step = jax.jit(
+                step, in_shardings=(repl, repl, repl, shard, None)
+            )
+            if self.logger:
+                self.logger.info(
+                    f"SwAV pretraining data-parallel over {n_par} devices"
+                )
 
         import time as _time
 
@@ -547,6 +600,8 @@ class SwAVClustering:
         for e in range(num_epochs):
             for _ in range(num_samples):
                 self.key, k_step = jax.random.split(self.key)
+                if n_par > 1:
+                    k_step = jax.random.split(k_step, n_par)
                 self.ssl_params, opt_state, loss = step(
                     self.model.params, self.ssl_params, opt_state, k_step, it
                 )

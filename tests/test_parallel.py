@@ -119,3 +119,90 @@ def test_distributed_init_single_process_noop():
         timeout=120,
     )
     assert "fresh-ok" in out.stdout, out.stderr[-500:]
+
+
+@pytest.mark.slow
+def test_swav_pretrain_data_parallel_mesh(tmp_path):
+    """swav_args['data_parallel']=True shards the real SwAVClustering
+    training step over the 8-device mesh (key axis sharded, params
+    replicated, grad psum inserted by XLA) — multi-chip SSL pretraining as
+    the pipeline's own code path, per SURVEY §2(b)."""
+    import os
+
+    from ganecdotes_tpu.models.stylegan2.generator import Generator
+    from ganecdotes_tpu.selfsup.swav import SwAVClustering
+
+    class _MC:
+        truncation = 0.7
+        latent_dim = 512
+        image_size = 32
+        num_latents_for_mean = 8
+
+    g = Generator(size=32, key=jax.random.PRNGKey(0))
+    swav = SwAVClustering(
+        model=g, model_config=_MC(),
+        perturb_args=dict(truncation=0.7, n_layers=2, n_samples=1,
+                          layer_no=None, perturb_std=[1.0, 1.0]),
+        swav_args=dict(num_epochs=2, num_samples=1, num_patches=1,
+                       sampling_method='random', patch_size=32,
+                       hf_interp='nearest', warmup_epochs=1,
+                       start_warmup=0.01, use_scheduler=False, base_lr=0.01,
+                       final_lr=0.0001, trust_coeff=0.01,
+                       freeze_prototype_niters=1,
+                       train_args=dict(lr=0.01, momentum=0.9),
+                       projn_nw='linear', temperature=0.1, nprototypes=8,
+                       nclasses=8, hlen=3584, add_local_loss=False,
+                       epoch_print_freq=1, data_parallel=True),
+        sinkhorn_args=dict(source_pdf='uniform', niters=2, eps=0.05),
+        out_dir=str(tmp_path),
+    )
+    assert jax.device_count() == 8
+    swav.pretrain()
+    assert swav.ssl_params is not None
+    assert os.path.exists(swav.params_file)
+    # params remain replicated and finite after sharded updates
+    w = np.asarray(swav.ssl_params["prototype"]["weight"])
+    assert np.isfinite(w).all()
+
+
+def test_swav_batch_step_matches_single_sample():
+    """make_swav_train_step(sample_batch=1) reproduces the single-sample
+    step bit-for-bit given the same key (the vmap'd restructure is exact)."""
+    from ganecdotes_tpu.models.stylegan2.generator import init_generator
+    from ganecdotes_tpu.selfsup.swav import (
+        init_swav_params,
+        make_swav_train_step,
+    )
+
+    key = jax.random.PRNGKey(0)
+    kg, ks, kstep = jax.random.split(key, 3)
+    gen_params, meta = init_generator(kg, 16)
+    hlen = 1024
+    ssl = init_swav_params(ks, hlen, 8, 16, "linear")
+
+    mc = {"truncation": 0.7, "latent_dim": 512}
+    pa = dict(truncation=0.7, n_layers=2, n_samples=1, layer_no=None,
+              perturb_std=[1.0, 1.0])
+    sa = dict(num_epochs=1, num_samples=1, num_patches=1, patch_size=16,
+              hf_interp='nearest', warmup_epochs=1, start_warmup=0.01,
+              use_scheduler=False, base_lr=0.01, final_lr=0.0001,
+              trust_coeff=0.01, train_args=dict(lr=0.01, momentum=0.9),
+              projn_nw='linear', temperature=0.1, nprototypes=16,
+              nclasses=8, hlen=hlen, add_local_loss=False)
+    sk = dict(source_pdf='uniform', niters=2, eps=0.05)
+    mean_w = jnp.zeros((1, 512))
+
+    opt1, step1 = make_swav_train_step(meta, mc, pa, sa, sk, mean_w, (16, 16))
+    optb, stepb = make_swav_train_step(meta, mc, pa, sa, sk, mean_w, (16, 16),
+                                       sample_batch=1)
+
+    p1, o1, l1 = step1(gen_params, ssl, opt1.init(ssl), kstep, 0)
+    pb, ob, lb = stepb(gen_params, ssl, optb.init(ssl), kstep[None], 0)
+
+    np.testing.assert_allclose(float(l1), float(lb), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        p1, pb,
+    )
