@@ -596,8 +596,33 @@ class SwAVClustering:
 
         t0 = _time.time()
         num_epochs, num_samples = sa["num_epochs"], sa["num_samples"]
-        it = 0
-        for e in range(num_epochs):
+
+        # elastic resume: restart from the last periodic snapshot (params +
+        # optimizer state + epoch + RNG key). The reference persists only the
+        # final modules (swav_clustering.py:503-505) — a preempted 100-epoch
+        # run there restarts from scratch. Opt-in via swav_args
+        # ['checkpoint_every'] (epochs).
+        ckpt_every = int(sa.get("checkpoint_every", 0) or 0)
+        ckpt_file = (
+            os.path.join(self.out_dir, "swav_pretrain_state.npz")
+            if self.out_dir else None
+        )
+        start_epoch = 0
+        if ckpt_every and ckpt_file and os.path.exists(ckpt_file):
+            state = load_pytree(ckpt_file)
+            self.ssl_params = state["ssl_params"]
+            opt_state = jax.tree.unflatten(
+                jax.tree.structure(opt_state), jax.tree.leaves(state["opt"])
+            )
+            start_epoch = int(state["epoch"])
+            self.key = state["key"]
+            if self.logger:
+                self.logger.info(
+                    f"Resuming SwAV pretraining from epoch {start_epoch}"
+                )
+
+        it = start_epoch * num_samples
+        for e in range(start_epoch, num_epochs):
             for _ in range(num_samples):
                 self.key, k_step = jax.random.split(self.key)
                 if n_par > 1:
@@ -606,6 +631,13 @@ class SwAVClustering:
                     self.model.params, self.ssl_params, opt_state, k_step, it
                 )
                 it += 1
+            if ckpt_every and ckpt_file and (e + 1) % ckpt_every == 0:
+                save_pytree(ckpt_file, {
+                    "ssl_params": self.ssl_params,
+                    "opt": jax.tree.leaves(opt_state),
+                    "epoch": jnp.asarray(e + 1),
+                    "key": self.key,
+                })
             if self.logger and e % sa.get("epoch_print_freq", 5) == 0:
                 self.logger.info(
                     f" E:{e}\t|\tLoss: {float(loss):.03f} \t|"

