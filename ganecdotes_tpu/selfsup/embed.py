@@ -24,6 +24,7 @@ for the RepurposeGAN/DatasetGAN baselines that genuinely need raw concat
 features (baseline/*/segmentor.py concat_features).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -126,23 +127,24 @@ def project_segment_single_conv(features, weight, head_w, head_b, hlen=None):
     Exact refactoring for nearest interpolation and a linear head (the XXS
     one-shot segmentor is one Conv2d, ref swav_clustering.py:716-717,731):
     the conv distributes over the level sum, commutes with the per-pixel
-    projection matmuls, and composes with nearest ×2 upsampling into a
-    lhs-dilated conv:
+    projection matmuls, and composes with nearest up-f sampling into
+    polyphase convs (``_polyphase_conv3x3_up``):
 
-        conv3x3(Σ_l U(f_l · P_l), W)
+        conv3x3(Σ_l U_fl(f_l · P_l), W)
           = Σ_{full-res l} conv3x3(f_l, P_l · W)
-          + conv(acc_half, A·W·Aᵀ, lhs_dilation=2, pad=2)
+          + Σ_{coarse res r} polyphase_up_{H/r}(Σ_{l at r} f_l · P_l, W)
 
-    where ``acc_half`` is the usual coarse→fine accumulation stopped at H/2
-    and A = [[1,0,0],[1,1,0],[0,1,1],[0,0,1]] combines the 3 taps into the 4
-    polyphase taps of conv3x3∘nearest-up2. Cuts the head's HBM traffic from
-    ~27 GB to ~6 GB per 96-image batch at 256² (the z write+read dominates
-    the unfused path).
+    with the coarse accumulation stopped at H/4 (cheap transitions) and the
+    H/4 and H/2 groups emitted through their own polyphase convs. vs the
+    unfused form this cuts the head's HBM traffic from ~27 GB to ~4 GB per
+    96-image batch at 256² — the (B, H, W, nclasses) embedding never exists,
+    and neither does the up2 of the (B, H/2, W/2, nclasses) accumulator
+    (profiled at ~16 ms/step, batch 128, before the polyphase-per-resolution
+    form).
 
     ``weight``: (hlen, nclasses) projection; ``head_w``: (3, 3, nclasses,
     C_out) HWIO; ``head_b``: (C_out,). Returns (B, H, W, C_out) logits.
     """
-    import jax
 
     h = max(f.shape[1] for f in features)
     w = max(f.shape[2] for f in features)
@@ -175,63 +177,90 @@ def project_segment_single_conv(features, weight, head_w, head_b, hlen=None):
         )
         out = y if out is None else out + y
 
-    # coarse levels: usual progressive accumulation up to H/2 ...
-    acc = None
+    # coarse contributions: conv3x3∘nearest-up_f as ONE polyphase conv per
+    # source resolution (see _polyphase_conv3x3_up). The accumulation stops
+    # at h/4: materializing the up2 of the (B, h/2, w/2, 512) accumulator
+    # was the single most expensive non-conv op in the headline program
+    # (profiled: ~16 ms/step at batch 128, a T(2,128)-padded broadcast),
+    # while emitting the h/4 and h/2 groups through their own polyphase
+    # convs adds only ~2 GF/img of full-lane MXU work.
+    groups = {}  # source resolution -> summed (B, r, rw, C) tensor
     for f, off, use in coarse:
-        w_l = weight[off : off + use].astype(f.dtype)
-        z = f[..., :use] @ w_l
-        if acc is None:
-            acc = z
+        z = f[..., :use] @ weight[off : off + use].astype(f.dtype)
+        r = z.shape[1]
+        if r in groups:
+            groups[r] = groups[r] + z
         else:
-            ah, aw = acc.shape[1], acc.shape[2]
-            fh, fw = z.shape[1], z.shape[2]
-            if (fh, fw) != (ah, aw):
-                acc = resize_nearest(acc, (fh, fw))
-            acc = acc + z
-    if acc is not None:
-        if acc.shape[1] != h // 2 or acc.shape[2] != w // 2:
-            acc = resize_nearest(acc, (h // 2, w // 2))
-        # ... then conv3x3∘nearest-up2 as ONE polyphase conv. The naive form
-        # is an lhs-dilated conv with the 4-tap combined kernel
-        # A·W·Aᵀ (A = [[1,0,0],[1,1,0],[0,1,1],[0,0,1]]) emitting C_out
-        # channels — 8 classes = 8/128 MXU output lanes. Decomposing by
-        # output parity instead: fine pixel (2i+dy, 2j+dx) reads coarse
-        # window (i-1..i+1, j-1..j+1) through a per-phase 3×3 kernel, so all
-        # four phases stack into one conv with 4·C_out output channels
-        # (4× the lane utilization, same math) + a depth-to-space reshape.
-        #   phase d=0 taps: [A·W row 0, A·W row 2, 0]  (window i-1, i)
-        #   phase d=1 taps: [0, A·W row 1, A·W row 3]  (window i, i+1)
-        A = jnp.asarray(
-            [[1, 0, 0], [1, 1, 0], [0, 1, 1], [0, 0, 1]], dtype=jnp.float32
-        )
-        wk = jnp.einsum(
-            "at,bs,tsdo->abdo", A, A,
-            head_w.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )  # (4, 4, C_in, C_out), rows/cols indexed by combined tap
-        c_in, c_out = wk.shape[2], wk.shape[3]
-        # per-axis embed of the 4 combined taps into 3-tap phase kernels
-        #   E[d, k3, k4] = 1 where combined tap k4 (parity d) lands at
-        #   3-tap position k3 of phase d
-        E = np.zeros((2, 3, 4), dtype=np.float32)
-        E[0, 0, 0] = E[0, 1, 2] = 1.0  # d=0: taps 0,2 -> positions 0,1
-        E[1, 1, 1] = E[1, 2, 3] = 1.0  # d=1: taps 1,3 -> positions 1,2
-        E = jnp.asarray(E)
-        # (dy, dx, 3, 3, C_in, C_out) -> (3, 3, C_in, 4*C_out)
-        wp = jnp.einsum("yva,xwb,abdo->vwdyxo", E, E, wk)
-        wp = wp.reshape(3, 3, c_in, 4 * c_out).astype(dt)
-        yc = jax.lax.conv_general_dilated(
-            acc, wp, window_strides=(1, 1),
+            groups[r] = z
+    if groups:
+        res_sorted = sorted(groups)
+        cutoff = h // 4
+        acc = None
+        for r in res_sorted:
+            if r > cutoff:
+                break
+            z = groups.pop(r)
+            if acc is not None:
+                if acc.shape[1] != r:
+                    acc = resize_nearest(acc, (r, z.shape[2]))
+                acc = acc + z
+            else:
+                acc = z
+        if acc is not None:
+            if acc.shape[1] > cutoff:  # single level above cutoff edge case
+                groups[acc.shape[1]] = groups.get(acc.shape[1], 0) + acc
+            else:
+                if acc.shape[1] != cutoff:
+                    acc = resize_nearest(acc, (cutoff, cutoff * w // h))
+                groups[cutoff] = groups.get(cutoff, 0) + acc
+        for r, z in groups.items():
+            y = _polyphase_conv3x3_up(z, head_w, h // r, dt)
+            out = y if out is None else out + y
+
+    return out + head_b.astype(dt)
+
+
+def _polyphase_conv3x3_up(z, head_w, f, dt):
+    """conv3x3(nearest_up_f(z), head_w) without materializing the upsample.
+
+    Exact polyphase decomposition: fine output (f·i+dy, f·j+dx) reads fine
+    taps f·i+d+t-1 (t∈0..2) which live in the coarse window (i-1, i, i+1)
+    at offsets floor((d+t-1)/f) — phase 0 reaches i-1 via tap 0, phase f-1
+    reaches i+1 via tap 2, every other (phase, tap) lands on i. All f²
+    phases stack into one conv with f²·C_out output channels (full MXU
+    lanes) followed by a depth-to-space reshape. f=1 degenerates to the
+    plain conv.
+    """
+    b_, r, rw, c_in = z.shape
+    c_out = head_w.shape[-1]
+    if f == 1:
+        return jax.lax.conv_general_dilated(
+            z, head_w.astype(dt), window_strides=(1, 1),
             padding=((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=dt,
-        )  # (B, h/2, w/2, 4*C_out)
-        b_, hh, ww = yc.shape[0], yc.shape[1], yc.shape[2]
-        yc = yc.reshape(b_, hh, ww, 2, 2, c_out)
-        y = yc.transpose(0, 1, 3, 2, 4, 5).reshape(b_, 2 * hh, 2 * ww, c_out)
-        out = y if out is None else out + y
-
-    return out + head_b.astype(dt)
+        )
+    # E[d, pos, tap] embeds fine tap t of phase d at coarse window position
+    # pos ∈ {i-1, i, i+1}
+    E = np.zeros((f, 3, 3), dtype=np.float32)
+    E[:, 1, :] = 1.0  # default: every tap lands on i
+    E[0, 1, 0] = 0.0
+    E[0, 0, 0] = 1.0  # phase 0, tap 0 -> i-1
+    E[f - 1, 1, 2] = 0.0
+    E[f - 1, 2, 2] = 1.0  # phase f-1, tap 2 -> i+1
+    E = jnp.asarray(E)
+    wp = jnp.einsum(
+        "yvt,xws,tsdo->vwdyxo", E, E, head_w.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )  # (3, 3, C_in, f, f, C_out)
+    wp = wp.reshape(3, 3, c_in, f * f * c_out).astype(dt)
+    yc = jax.lax.conv_general_dilated(
+        z, wp, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dt,
+    )  # (B, r, rw, f*f*C_out)
+    yc = yc.reshape(b_, r, rw, f, f, c_out)
+    return yc.transpose(0, 1, 3, 2, 4, 5).reshape(b_, f * r, f * rw, c_out)
 
 
 def pixel_feature_gather(features, picks, out_hw, hlen=None):
