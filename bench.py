@@ -125,8 +125,10 @@ def build(batch, dtype, method="swav"):
 
     elif method == "swav512":
         # car-512 configuration (BASELINE config #4): deeper pyramid
-        # (15 levels, hlen=5376), XS head over the 512-wide embedding
-        from ganecdotes_tpu.selfsup.embed import project_feature_maps
+        # (15 levels, hlen=5376), XS head over the 512-wide embedding —
+        # first conv folded into the level decomposition (the 268 MB/img
+        # embedding never materializes; see embed.project_segment_fcn)
+        from ganecdotes_tpu.selfsup.embed import project_segment_fcn
         from ganecdotes_tpu.selfsup.swav import init_swav_params
 
         ssl = init_swav_params(ks, 5376, 512, 5000, "linear")
@@ -134,10 +136,10 @@ def build(batch, dtype, method="swav"):
 
         def fn(gen_params, ssl_params, seg_params, latents):
             img, feats = synth(gen_params, latents)
-            z = project_feature_maps(
-                feats, ssl_params["projection"][0]["weight"], hlen=5376
+            logits = project_segment_fcn(
+                feats, ssl_params["projection"][0]["weight"],
+                seg_params, "XS", hlen=5376,
             )
-            logits = one_shot_segmentor_apply(seg_params, z, "XS")
             return img, jnp.argmax(logits, axis=-1)
 
     elif method == "simclr":

@@ -503,21 +503,23 @@ class OneShotPipeline:
                 interp = pre.swav_args.get("hf_interp", "nearest")
                 projn = pre.swav_args["projn_nw"]
 
+                from ganecdotes_tpu.selfsup.heads import DILATIONS
+
                 if (
-                    seg_size == "XXS"
+                    seg_size in DILATIONS
                     and not self._seg_is_mlp
                     and projn == "linear"
                     and interp == "nearest"
                 ):
-                    # single-conv head + linear projection + nearest interp:
-                    # fold the head into the level decomposition so the
-                    # (B, H, W, nclasses) embedding never hits HBM (exact,
-                    # see embed.project_segment_single_conv; ~1.3× on the
-                    # headline throughput). Cluster labels (used only for
-                    # the first sample's TB figure) come from a 1-sample
-                    # embedding.
+                    # FCN head + linear projection + nearest interp: fold
+                    # the head's FIRST conv into the level decomposition so
+                    # the (B, H, W, nclasses) embedding never hits HBM
+                    # (exact, see embed.project_segment_fcn; ~1.3× on the
+                    # 256² headline, more at 512² where the embedding is
+                    # 268 MB/img). Cluster labels (used only for the first
+                    # sample's TB figure) come from a 1-sample embedding.
                     from ganecdotes_tpu.selfsup.embed import (
-                        project_segment_single_conv,
+                        project_segment_fcn,
                     )
 
                     proj_w = ssl_params["projection"][0]["weight"]
@@ -531,9 +533,8 @@ class OneShotPipeline:
                             truncation_latent=mean_latent,
                             randomize_noise=False, dtype=dtype,
                         )
-                        logits = project_segment_single_conv(
-                            feats, proj_w, seg_params[0]["weight"],
-                            seg_params[0]["bias"], hlen=hlen,
+                        logits = project_segment_fcn(
+                            feats, proj_w, seg_params, seg_size, hlen=hlen
                         )
                         z0 = swav_predict_from_features(
                             ssl_params, [f[:1] for f in feats], hlen,

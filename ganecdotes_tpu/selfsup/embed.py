@@ -311,3 +311,29 @@ def project_gathered(features, picks, out_hw, weight, hlen=None):
         z = g @ weight[off : off + use].astype(g.dtype)
         out = z if out is None else out + z
     return out
+
+
+def project_segment_fcn(features, weight, seg_params, size, hlen=None):
+    """Logits of a multi-conv FCN head over the level-decomposed embedding.
+
+    Generalizes ``project_segment_single_conv`` to every OneShotSegmentor
+    size: the FIRST conv (always dilation 1) is linear in the embedding, so
+    it folds into the per-level polyphase decomposition — the (B, H, W,
+    nclasses) embedding never materializes; only the much narrower first
+    conv output does (XS: 512 -> 16 channels at full res). The remaining
+    dilated convs run on that intermediate exactly as
+    ``one_shot_segmentor_apply`` would.
+    """
+    from ganecdotes_tpu.nn.layers import conv2d_dilated_nhwc, leaky_relu
+    from ganecdotes_tpu.selfsup.heads import DILATIONS
+
+    out = project_segment_single_conv(
+        features, weight, seg_params[0]["weight"], seg_params[0]["bias"],
+        hlen=hlen,
+    )
+    dilations = DILATIONS[size]
+    for p, d in zip(seg_params[1:], dilations[1:]):
+        out = leaky_relu(out)
+        out = conv2d_dilated_nhwc(out, p["weight"], dilation=d, padding=d)
+        out = out + p["bias"].astype(out.dtype)
+    return out

@@ -471,3 +471,40 @@ def test_swav_pretrain_checkpoint_resume(tmp_path):
         np.asarray(swav2.ssl_params["prototype"]["weight"]), full,
         rtol=1e-6,
     )
+
+
+def test_project_segment_fcn_matches_unfused():
+    """First-conv folding generalizes to multi-conv heads: the fused XS/S
+    paths must match one_shot_segmentor_apply(project_feature_maps(...))."""
+    import jax
+
+    from ganecdotes_tpu.selfsup.embed import (
+        project_feature_maps,
+        project_segment_fcn,
+    )
+    from ganecdotes_tpu.selfsup.heads import (
+        init_one_shot_segmentor,
+        one_shot_segmentor_apply,
+    )
+
+    rng = np.random.RandomState(3)
+    shapes = [(1, 4, 4, 24), (1, 8, 8, 24), (1, 8, 8, 24),
+              (1, 16, 16, 12), (1, 16, 16, 12),
+              (1, 32, 32, 6), (1, 32, 32, 6)]
+    feats = [jnp.asarray(rng.randn(*s).astype(np.float32)) for s in shapes]
+    total = sum(s[-1] for s in shapes)
+
+    for size in ("XS", "S"):
+        for hlen in (total, total - 9):
+            nclasses = 16
+            weight = jnp.asarray(
+                rng.randn(hlen, nclasses).astype(np.float32)
+            )
+            seg = init_one_shot_segmentor(
+                jax.random.PRNGKey(2), nclasses, 5, size
+            )
+            z = project_feature_maps(feats, weight, hlen=hlen)
+            want = one_shot_segmentor_apply(seg, z, size)
+            got = project_segment_fcn(feats, weight, seg, size, hlen=hlen)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=3e-4, rtol=1e-4)
