@@ -1,0 +1,75 @@
+"""bench.py program-construction smoke tests.
+
+The driver runs bench.py on real TPU hardware at the end of every round; a
+silent breakage there costs the round's headline number. These tests trace
+every bench program (jax.eval_shape — no compile, runs in seconds on CPU)
+so API drift in the modules bench composes is caught by the fast suite.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+import bench
+
+
+@pytest.mark.parametrize(
+    "method,size",
+    [
+        ("swav", 256),
+        ("swav_labels_only", 256),
+        ("simclr", 256),
+        ("hfc_kmeans", 256),
+        ("swav512", 512),
+    ],
+)
+def test_bench_programs_trace(method, size):
+    if method == "hfc_kmeans":
+        pytest.skip(
+            "build() runs a real jitted probe synthesis for the group "
+            "shapes — covered by the slow pipeline e2e instead"
+        )
+    jfn, args = bench.build(2, jnp.bfloat16, method)
+    out = jax.eval_shape(jfn, *args)
+    leaves = jax.tree.leaves(out)
+    assert leaves, "program produced no outputs"
+    if method == "swav_labels_only":
+        # mask-only serving mode: labels only, no image
+        assert len(leaves) == 1
+        assert leaves[0].shape == (2, size, size)
+    else:
+        # generate+segment must emit the image AND the labels (the honesty
+        # correction in docs/PERFORMANCE.md) — a labels-only headline
+        # program lets XLA DCE half the synthesis
+        assert len(leaves) == 2
+        img, labels = leaves
+        assert img.shape == (2, size, size, 3)
+        assert labels.shape == (2, size, size)
+
+
+def test_bench_sweep_drops_nonbest_executables():
+    """sweep() must free non-best programs (HBM exhaustion regression)."""
+    calls = []
+
+    def fake_build(b, dtype, method):
+        def fn(x):
+            return x
+
+        calls.append(b)
+        return fn, (jnp.zeros((b,)),)
+
+    # throughputs: 32, 160, 107 img/s -> regression at 128; midpoint 96
+    # probes at 137 img/s -> 64 stays the best batch
+    fake_times = {32: 1.0, 64: 0.4, 128: 1.2, 96: 0.7}
+
+    orig_build, orig_timed = bench.build, bench.timed
+    bench.build = fake_build
+    bench.timed = lambda jfn, args, iters=20: fake_times[args[0].shape[0]]
+    try:
+        best_b, (tput, jfn, args) = bench.sweep("swav")
+    finally:
+        bench.build, bench.timed = orig_build, orig_timed
+
+    assert best_b == 64
+    assert jfn is not None and args is not None
+    assert calls == [32, 64, 128, 96]
