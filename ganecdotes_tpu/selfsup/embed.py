@@ -207,12 +207,12 @@ def project_segment_single_conv(features, weight, head_w, head_b, hlen=None):
             else:
                 acc = z
         if acc is not None:
-            if acc.shape[1] > cutoff:  # single level above cutoff edge case
-                groups[acc.shape[1]] = groups.get(acc.shape[1], 0) + acc
-            else:
-                if acc.shape[1] != cutoff:
-                    acc = resize_nearest(acc, (cutoff, cutoff * w // h))
-                groups[cutoff] = groups.get(cutoff, 0) + acc
+            # acc only ever holds resolutions <= cutoff (the loop breaks at
+            # the first r > cutoff) and any cutoff-resolution group was
+            # popped into it, so this insertion never collides
+            if acc.shape[1] != cutoff:
+                acc = resize_nearest(acc, (cutoff, cutoff * w // h))
+            groups[cutoff] = acc
         for r, z in groups.items():
             y = _polyphase_conv3x3_up(z, head_w, h // r, dt)
             out = y if out is None else out + y

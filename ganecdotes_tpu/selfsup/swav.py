@@ -464,6 +464,10 @@ def swav_predict_from_features(ssl_params, features, hlen, nclasses,
 # ---------------------------------------------------------------------------
 
 
+class _SimulatedPreemption(RuntimeError):
+    """Raised by the test-only fault-injection hook (_abort_after_epoch)."""
+
+
 class SwAVClustering:
     """Duck-typed 'preprocessor' with the reference's API surface
     (hfc_with_swav/swav_clustering.py:28-203): preprocess / pretrain /
@@ -475,6 +479,9 @@ class SwAVClustering:
                  num_test_samples=5):
         del device
         self.num_test_samples = num_test_samples
+        # fault-injection hook: raise _SimulatedPreemption after this many
+        # epochs (tests the elastic-resume path; None = never)
+        self._abort_after_epoch = None
         self.model = model
         self.model_config = model_config
         self.perturb_args = perturb_args
@@ -601,25 +608,55 @@ class SwAVClustering:
         # optimizer state + epoch + RNG key). The reference persists only the
         # final modules (swav_clustering.py:503-505) — a preempted 100-epoch
         # run there restarts from scratch. Opt-in via swav_args
-        # ['checkpoint_every'] (epochs).
+        # ['checkpoint_every'] (epochs). A successful run deletes its
+        # snapshot (it is a crash-recovery artifact; the result lives in
+        # swav_params.npz).
         ckpt_every = int(sa.get("checkpoint_every", 0) or 0)
         ckpt_file = (
             os.path.join(self.out_dir, "swav_pretrain_state.npz")
             if self.out_dir else None
         )
+        # config fingerprint: a snapshot from a different architecture or
+        # schedule must not silently resume (wrong-shaped params would be
+        # written, or zero steps would run)
+        fp = repr((
+            sa["hlen"], sa["nclasses"], sa["nprototypes"], sa["projn_nw"],
+            num_epochs, num_samples, n_par,
+        ))
         start_epoch = 0
         if ckpt_every and ckpt_file and os.path.exists(ckpt_file):
-            state = load_pytree(ckpt_file)
-            self.ssl_params = state["ssl_params"]
-            opt_state = jax.tree.unflatten(
-                jax.tree.structure(opt_state), jax.tree.leaves(state["opt"])
-            )
-            start_epoch = int(state["epoch"])
-            self.key = state["key"]
-            if self.logger:
-                self.logger.info(
-                    f"Resuming SwAV pretraining from epoch {start_epoch}"
+            try:
+                state = load_pytree(ckpt_file)
+                if state.get("fingerprint_chars") is not None:
+                    saved_fp = "".join(
+                        chr(c) for c in np.asarray(state["fingerprint_chars"])
+                    )
+                else:
+                    saved_fp = None
+                if saved_fp != fp:
+                    raise ValueError(
+                        f"snapshot config {saved_fp!r} != current {fp!r}"
+                    )
+                self.ssl_params = state["ssl_params"]
+                opt_state = jax.tree.unflatten(
+                    jax.tree.structure(opt_state),
+                    jax.tree.leaves(state["opt"]),
                 )
+                start_epoch = int(state["epoch"])
+                self.key = state["key"]
+                if self.logger:
+                    self.logger.info(
+                        f"Resuming SwAV pretraining from epoch {start_epoch}"
+                    )
+            except Exception as e:
+                # truncated write (preempted mid-save) or config change:
+                # start fresh rather than crash-loop on a bad snapshot
+                start_epoch = 0
+                if self.logger:
+                    self.logger.warning(
+                        f"Ignoring unusable pretrain snapshot ({e}) - "
+                        "starting from epoch 0"
+                    )
 
         it = start_epoch * num_samples
         for e in range(start_epoch, num_epochs):
@@ -632,12 +669,23 @@ class SwAVClustering:
                 )
                 it += 1
             if ckpt_every and ckpt_file and (e + 1) % ckpt_every == 0:
-                save_pytree(ckpt_file, {
+                # atomic: write-to-temp + rename, so the preemption this
+                # feature exists for cannot leave a truncated snapshot
+                tmp = ckpt_file[:-4] + "_tmp.npz"  # np.savez appends .npz
+                save_pytree(tmp, {
                     "ssl_params": self.ssl_params,
                     "opt": jax.tree.leaves(opt_state),
                     "epoch": jnp.asarray(e + 1),
                     "key": self.key,
+                    "fingerprint_chars": jnp.asarray(
+                        [ord(c) for c in fp], jnp.int32
+                    ),
                 })
+                os.replace(tmp, ckpt_file)
+            if self._abort_after_epoch is not None and (
+                e + 1
+            ) >= self._abort_after_epoch:
+                raise _SimulatedPreemption(f"aborted after epoch {e + 1}")
             if self.logger and e % sa.get("epoch_print_freq", 5) == 0:
                 self.logger.info(
                     f" E:{e}\t|\tLoss: {float(loss):.03f} \t|"
@@ -652,6 +700,11 @@ class SwAVClustering:
             self.logger.info("Finished pretraining - Saving swav params")
         if self.params_file:
             save_pytree(self.params_file, self.ssl_params)
+        if ckpt_file and os.path.exists(ckpt_file):
+            # crash-recovery artifact only — a stale snapshot would make a
+            # later intentional re-pretrain in the same out_dir a silent
+            # no-op
+            os.remove(ckpt_file)
 
     def _plot_epoch_predictions(self, test_z, test_imgs, e):
         """Per-epoch prediction grid (intended semantics of ref :467-501):

@@ -421,14 +421,23 @@ def test_hfc_fit_ragged_layer_dims(tmp_path):
 
 
 def test_swav_pretrain_checkpoint_resume(tmp_path):
-    """checkpoint_every snapshots (params+opt+epoch+key) and a restarted
-    pretrain resumes from the last snapshot instead of epoch 0."""
+    """Mid-run preemption resumes from the last snapshot, NOT from scratch.
+
+    Non-vacuity: the resumed instance is constructed with a DIFFERENT seed —
+    its weights can only match the uninterrupted run's if the snapshot's
+    params/opt-state/RNG key were actually restored (a silent
+    retrain-from-scratch would follow the new seed's stream and diverge).
+    Also checks: a completed run deletes its snapshot, and a snapshot from a
+    different config is ignored rather than resumed."""
     import os
 
     import jax
 
     from ganecdotes_tpu.models.stylegan2.generator import Generator
-    from ganecdotes_tpu.selfsup.swav import SwAVClustering
+    from ganecdotes_tpu.selfsup.swav import (
+        SwAVClustering,
+        _SimulatedPreemption,
+    )
 
     class _MC:
         truncation = 0.7
@@ -436,7 +445,7 @@ def test_swav_pretrain_checkpoint_resume(tmp_path):
         image_size = 16
         num_latents_for_mean = 4
 
-    def make(out):
+    def make(out, seed=7, nprototypes=8):
         return SwAVClustering(
             model=Generator(size=16, key=jax.random.PRNGKey(0)),
             model_config=_MC(),
@@ -449,28 +458,51 @@ def test_swav_pretrain_checkpoint_resume(tmp_path):
                            final_lr=0.0001, trust_coeff=0.01,
                            train_args=dict(lr=0.01, momentum=0.9),
                            projn_nw='linear', temperature=0.1,
-                           nprototypes=8, nclasses=8, hlen=1024,
+                           nprototypes=nprototypes, nclasses=8, hlen=1024,
                            add_local_loss=False, checkpoint_every=1,
                            epoch_print_freq=10),
             sinkhorn_args=dict(source_pdf='uniform', niters=2, eps=0.05),
-            out_dir=out, seed=7,
+            out_dir=out, seed=seed,
         )
 
-    out = str(tmp_path)
-    swav = make(out)
+    # uninterrupted reference run: snapshot removed on successful completion
+    out_a = str(tmp_path / "a")
+    swav = make(out_a)
     swav.pretrain()
     full = np.asarray(swav.ssl_params["prototype"]["weight"])
-    ckpt = os.path.join(out, "swav_pretrain_state.npz")
-    assert os.path.exists(ckpt)
+    assert not os.path.exists(
+        os.path.join(out_a, "swav_pretrain_state.npz")
+    )
 
-    # simulate preemption after epoch 2: rewind the snapshot by re-running
-    # 2 epochs fresh, then let a resumed run finish the third
-    swav2 = make(out)  # ckpt at epoch 3 exists -> resume skips the loop
-    swav2.pretrain()
+    # preempted run: abort after epoch 2 via the fault-injection hook
+    out_b = str(tmp_path / "b")
+    swav_b = make(out_b)
+    swav_b._abort_after_epoch = 2
+    with pytest.raises(_SimulatedPreemption):
+        swav_b.pretrain()
+    assert os.path.exists(os.path.join(out_b, "swav_pretrain_state.npz"))
+
+    # resume with a DIFFERENT construction seed: only true state restoration
+    # can reproduce the uninterrupted run's weights (a silent restart would
+    # train from the seed-99 init and key stream). mean_latent is seed-
+    # derived at construction and is not part of the snapshot, so pin it.
+    swav_b2 = make(out_b, seed=99)
+    swav_b2.mean_latent = swav_b.mean_latent
+    swav_b2.pretrain()
     np.testing.assert_allclose(
-        np.asarray(swav2.ssl_params["prototype"]["weight"]), full,
+        np.asarray(swav_b2.ssl_params["prototype"]["weight"]), full,
         rtol=1e-6,
     )
+
+    # a snapshot from a different config must be ignored, not resumed
+    out_c = str(tmp_path / "c")
+    swav_c = make(out_c)
+    swav_c._abort_after_epoch = 2
+    with pytest.raises(_SimulatedPreemption):
+        swav_c.pretrain()
+    swav_c2 = make(out_c, nprototypes=16)  # config changed
+    swav_c2.pretrain()  # starts fresh; would crash if it tried to resume
+    assert swav_c2.ssl_params["prototype"]["weight"].shape[1] == 16
 
 
 def test_project_segment_fcn_matches_unfused():
