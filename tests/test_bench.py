@@ -17,10 +17,10 @@ import bench
     "method,size",
     [
         ("swav", 256),
-        ("swav_labels_only", 256),
         ("simclr", 256),
         ("hfc_kmeans", 256),
-        ("swav512", 512),
+        pytest.param("swav_labels_only", 256, marks=pytest.mark.slow),
+        pytest.param("swav512", 512, marks=pytest.mark.slow),
     ],
 )
 def test_bench_programs_trace(method, size):

@@ -420,6 +420,7 @@ def test_hfc_fit_ragged_layer_dims(tmp_path):
     assert preds.shape == (1, 8, 8, 5)
 
 
+@pytest.mark.slow
 def test_swav_pretrain_checkpoint_resume(tmp_path):
     """Mid-run preemption resumes from the last snapshot, NOT from scratch.
 
