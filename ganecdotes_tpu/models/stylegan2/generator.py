@@ -24,6 +24,7 @@ Params are a plain pytree; ``convert.py`` maps a reference ``g_ema``
 state_dict onto it 1:1.
 """
 
+import collections
 import math
 
 import jax
@@ -41,8 +42,16 @@ from ganecdotes_tpu.ops.fused_act import fused_leaky_relu
 from ganecdotes_tpu.ops.upfirdn2d import blur_2d, upsample_2d
 
 
-def channel_map(channel_multiplier=2):
-    """Resolution -> channel width (ref model.py:484-494)."""
+def channel_map(channel_multiplier=2, res2chlmap=None):
+    """Resolution -> channel width (ref model.py:484-494).
+
+    ``res2chlmap`` overrides the rosinality map with an explicit dict —
+    BagGAN's leaner default (models/baggan/models.py:25-33) halves widths
+    from 16×16 up; training a BagGAN from scratch must match it so exported
+    checkpoints round-trip into the reference classes.
+    """
+    if res2chlmap is not None:
+        return dict(res2chlmap)
     return {
         4: 512,
         8: 512,
@@ -92,10 +101,10 @@ def _to_rgb_init(key, in_ch, style_dim):
 
 
 def generator_meta(size, style_dim=512, n_mlp=8, channel_multiplier=2,
-                   blur_kernel=(1, 3, 3, 1)):
+                   blur_kernel=(1, 3, 3, 1), res2chlmap=None):
     """Static architecture record (pure config math, no device work)."""
     log_size = int(math.log2(size))
-    return {
+    meta = {
         "size": size,
         "style_dim": style_dim,
         "n_mlp": n_mlp,
@@ -104,10 +113,14 @@ def generator_meta(size, style_dim=512, n_mlp=8, channel_multiplier=2,
         "n_latent": log_size * 2 - 2,
         "num_layers": (log_size - 2) * 2 + 1,
     }
+    if res2chlmap is not None:
+        meta["res2chlmap"] = dict(res2chlmap)
+    return meta
 
 
 def init_generator(
-    key, size, style_dim=512, n_mlp=8, channel_multiplier=2, blur_kernel=(1, 3, 3, 1)
+    key, size, style_dim=512, n_mlp=8, channel_multiplier=2,
+    blur_kernel=(1, 3, 3, 1), res2chlmap=None,
 ):
     """Build the parameter pytree (matches ref Generator.__init__ :457-541).
 
@@ -115,7 +128,7 @@ def init_generator(
     when initializing on a real TPU — per-op dispatch through the device
     relay costs ~100 s for the 256² tree, one compiled program ~2 s.
     """
-    channels = channel_map(channel_multiplier)
+    channels = channel_map(channel_multiplier, res2chlmap)
     log_size = int(math.log2(size))
     n_latent = log_size * 2 - 2
     num_layers = (log_size - 2) * 2 + 1
@@ -157,7 +170,7 @@ def init_generator(
         in_ch = out_ch
 
     meta = generator_meta(size, style_dim, n_mlp, channel_multiplier,
-                          blur_kernel)
+                          blur_kernel, res2chlmap)
     return params, meta
 
 
@@ -378,25 +391,36 @@ class Generator:
     """
 
     def __init__(self, size, style_dim=512, n_mlp=8, channel_multiplier=2,
-                 blur_kernel=(1, 3, 3, 1), lr_mlp=0.01, key=None):
+                 blur_kernel=(1, 3, 3, 1), lr_mlp=0.01, key=None,
+                 res2chlmap=None):
         if key is None:
             key = jax.random.PRNGKey(0)
+        r2c = None if res2chlmap is None else tuple(
+            sorted(res2chlmap.items())
+        )
         # init as ONE compiled program: eager per-op dispatch of the ~100
         # random inits costs ~100 s through a TPU relay
         self.params = jax.jit(
             lambda k: init_generator(
                 k, size, style_dim, n_mlp, channel_multiplier,
                 tuple(blur_kernel),
+                None if r2c is None else dict(r2c),
             )[0]
         )(key)
         self.meta = generator_meta(
-            size, style_dim, n_mlp, channel_multiplier, blur_kernel
+            size, style_dim, n_mlp, channel_multiplier, blur_kernel,
+            res2chlmap,
         )
         self.size = size
         self.style_dim = style_dim
         self.n_latent = self.meta["n_latent"]
         self.num_layers = self.meta["num_layers"]
-        self._compiled = {}
+        # LRU of jitted closures: one per static (shape, truncation, mode, …)
+        # tuple. Bounded so a long-lived GUI session sweeping batch sizes
+        # cannot accumulate compiled programs without limit (each holds its
+        # executable + device constants).
+        self._compiled = collections.OrderedDict()
+        self._compiled_max = 16
         # stateful stream for the reference's randomize_noise=True default.
         # Kept as a host numpy RNG producing raw (2,) uint32 key data: a
         # legacy PRNG key is just that array, so fresh per-call keys cost
@@ -406,29 +430,43 @@ class Generator:
             key_data = jax.random.key_data(key)
         except Exception:
             key_data = key
+        # seed from ALL key words: seeding from one word would replay
+        # identical noise streams for distinct keys sharing that word
+        # (e.g. PRNGKey(s) vs PRNGKey(s + 2**32))
         self._noise_rng = np.random.RandomState(
-            int(np.asarray(key_data).ravel()[-1]) & 0x7FFFFFFF
+            np.random.SeedSequence(
+                [int(w) for w in np.asarray(key_data).ravel()]
+            ).generate_state(1)
         )
+
+    def _cached(self, cache_key, build):
+        """LRU lookup of a jitted closure; evicts the least-recently used
+        entry beyond ``_compiled_max``."""
+        fn = self._compiled.get(cache_key)
+        if fn is None:
+            fn = build()
+            self._compiled[cache_key] = fn
+            while len(self._compiled) > self._compiled_max:
+                self._compiled.popitem(last=False)
+        else:
+            self._compiled.move_to_end(cache_key)
+        return fn
 
     def style(self, z):
         return self._style_jit(self.params, jnp.asarray(z))
 
     @property
     def _style_jit(self):
-        fn = self._compiled.get("style")
-        if fn is None:
-            fn = jax.jit(mapping_apply)
-            self._compiled["style"] = fn
-        return fn
+        return self._cached("style", lambda: jax.jit(mapping_apply))
 
     def mean_latent(self, n, key=None):
         key = jax.random.PRNGKey(4096) if key is None else key
-        fn = self._compiled.get(("mean_latent", n))
-        if fn is None:
-            fn = jax.jit(
+        fn = self._cached(
+            ("mean_latent", n),
+            lambda: jax.jit(
                 lambda params, k: mean_latent(params, k, n, self.style_dim)
-            )
-            self._compiled[("mean_latent", n)] = fn
+            ),
+        )
         return fn(self.params, key)
 
     def make_noise(self, key=None, batch=1):
@@ -518,7 +556,8 @@ class Generator:
                         truncation_latent=truncation_latent, **kw,
                     )
 
-            fn = jax.jit(fwd)
-            self._compiled[static] = fn
+            fn = self._cached(static, lambda: jax.jit(fwd))
+        else:
+            self._compiled.move_to_end(static)
 
         return fn(self.params, tuple(styles), trunc_lat, noise, nkey)

@@ -122,11 +122,25 @@ def import_sklearn_clusterer(path):
     ref hfc_kmeans_clustering.py:121-123) -> (k, d) cluster centers.
 
     Prediction parity is exact: sklearn's ``predict`` is the same
-    argmin-of-squared-distance as ``kmeans_predict`` over these centers."""
+    argmin-of-squared-distance as ``kmeans_predict`` over these centers.
+
+    Trust note: ``.sav`` files are pickles — loading one EXECUTES code from
+    the file, so only point this at artifacts you produced or trust (the
+    same assumption the reference makes by pickling its clusterers).
+    Unpickling also needs sklearn importable (the pickle references its
+    classes); we surface that as a clear error instead of an opaque
+    ``ModuleNotFoundError`` from deep inside pickle."""
     import pickle
 
     with open(path, "rb") as f:
-        obj = pickle.load(f)
+        try:
+            obj = pickle.load(f)
+        except ModuleNotFoundError as e:
+            raise ImportError(
+                f"importing {path!r} requires scikit-learn (the reference "
+                "pickled an sklearn KMeans object); install sklearn or "
+                f"provide a cluster_centers.npz instead: {e}"
+            ) from e
     return jnp.asarray(np.asarray(obj.cluster_centers_, dtype=np.float32))
 
 

@@ -160,3 +160,38 @@ def test_randomize_noise_default_is_jitted_and_fresh():
     im_a, _ = g([z], noise=noise)
     im_b, _ = g([z], noise=noise)
     assert np.allclose(np.asarray(im_a), np.asarray(im_b))
+
+
+def test_compiled_cache_is_lru_bounded():
+    """A shape/config sweep must not grow the jitted-closure cache without
+    bound (a long-lived GUI session leaks compiled programs otherwise)."""
+    import jax
+
+    g = Generator(size=32, key=jax.random.PRNGKey(9))
+    cap = g._compiled_max
+    for batch in range(1, cap + 8):
+        z = jnp.zeros((batch, 512))
+        g([z], randomize_noise=False)
+    assert len(g._compiled) <= cap
+    # the most recent entries survive: a repeat call hits the cache
+    before = dict(g._compiled)
+    g([jnp.zeros((cap + 7, 512))], randomize_noise=False)
+    assert dict(g._compiled) == before
+
+
+def test_noise_rng_uses_all_key_words():
+    """Two keys sharing a single word must not replay the same noise
+    stream (the seed mixes every word of the PRNG key)."""
+    import jax
+
+    g1 = Generator(size=32, key=jax.random.PRNGKey(5))
+    g2 = Generator(
+        size=32, key=jnp.asarray(
+            jax.random.key_data(jax.random.PRNGKey(5)).ravel()
+            * jnp.asarray([0, 1], dtype=jnp.uint32)
+            + jnp.asarray([12345, 0], dtype=jnp.uint32), dtype=jnp.uint32
+        )
+    )
+    s1 = g1._noise_rng.randint(0, 2**32, size=(4,), dtype=np.uint32)
+    s2 = g2._noise_rng.randint(0, 2**32, size=(4,), dtype=np.uint32)
+    assert not np.array_equal(s1, s2)
