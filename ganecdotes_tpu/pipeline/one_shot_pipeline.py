@@ -296,16 +296,35 @@ class OneShotPipeline:
                 raise ValueError("Cannot feed input latents in offline mode!")
             if self.mode == "online" and input_latent is not None:
                 self.one_shot_latent = jnp.asarray(input_latent)
+                # per-layer noise for the fed one-shot sample (ref :389-393):
+                # the caller's noises, else a fresh draw. NOTE the reference
+                # assigns one_shot_noise but never feeds it to a forward (all
+                # its synthesis calls pass randomize_noise=False, and :440
+                # overwrites it with randn afterwards) — here the INTENDED
+                # semantics are implemented: the fed noise shapes the
+                # one-shot synthesis.
+                if input_noises is None:
+                    self.key, kn = jax.random.split(self.key)
+                    input_noises = self.model.make_noise(kn)
+                self.one_shot_noise = [jnp.asarray(n) for n in input_noises]
+            else:
+                self.one_shot_noise = self._load_sample_noises()
 
             one_shot_in = self.one_shot_latent
             if one_shot_in.ndim == 1:
                 one_shot_in = one_shot_in[None]
+            synth_kw = dict(input_is_latent=True)
+            if self.one_shot_noise is not None:
+                synth_kw["noise"] = self.one_shot_noise
+            else:
+                synth_kw["randomize_noise"] = False
+            if not hasattr(self.model_config, "sample_noises"):
+                # the sample_noises model family (p-car / p-horse) skips
+                # truncation in every setup forward (ref :395-399, 426-430)
+                synth_kw["truncation"] = self.model_config.truncation
+                synth_kw["truncation_latent"] = self.mean_latent
             self.one_shot_img, self.one_shot_features = self.model(
-                [one_shot_in],
-                truncation=self.model_config.truncation,
-                truncation_latent=self.mean_latent,
-                input_is_latent=True,
-                randomize_noise=False,
+                [one_shot_in], **synth_kw
             )
 
             if self.mode == "online" and input_latent is None:
@@ -342,6 +361,49 @@ class OneShotPipeline:
             self.run_tests()
 
     # ------------------------------------------------------------------
+
+    def _load_sample_noises(self):
+        """Per-layer noise for the one-shot synthesis from the
+        ``sample_noises`` model-config path (pascal_car_512.py:21,
+        pascal_horse_256.py:21).
+
+        The reference declares the path but never loads it (its
+        ``one_shot_noise`` is assigned and then overwritten with randn at
+        one_shot_pipeline.py:440 without ever reaching a forward); here the
+        config knob is honored: a file (list of per-layer tensors) or a
+        directory of per-layer files, torch NCHW (B,1,H,W) converted to
+        NHWC. Returns None (→ the generator's fixed noise buffers) when the
+        config has no such attribute or nothing exists at the path.
+        """
+        path = getattr(self.model_config, "sample_noises", None)
+        if not path or not os.path.exists(path):
+            if path:
+                self.logger.warning(
+                    f"sample_noises path not found: {path} - using the "
+                    "generator's fixed noise buffers"
+                )
+            return None
+        if os.path.isdir(path):
+            files = sorted(
+                (f for f in os.listdir(path)
+                 if f.endswith((".pt", ".npy", ".npz"))),
+                key=lambda s: (len(s), s),  # noise_2 < noise_10
+            )
+            arrs = [_load_tensor(os.path.join(path, f)) for f in files]
+        else:
+            loaded = _load_tensor(path)
+            arrs = list(loaded) if isinstance(loaded, (tuple, list)) else [
+                np.asarray(a) for a in loaded
+            ]
+        noises = []
+        for a in arrs:
+            a = np.asarray(a, dtype=np.float32)
+            if a.ndim == 3:
+                a = a[None]
+            if a.ndim == 4 and a.shape[1] == 1 and a.shape[-1] != 1:
+                a = a.transpose(0, 2, 3, 1)  # torch NCHW -> NHWC
+            noises.append(jnp.asarray(a))
+        return noises or None
 
     def _extract_one_shot_features(self):
         """Method dispatch for one-shot training features (ref :475-531)."""
@@ -795,16 +857,17 @@ class OneShotPipeline:
                 self._save_test_pred_figure(img0, cluster0, bs)
                 self.summary_writer.add_image(
                     "one_shot/test_image", np.clip(img0 * 0.5 + 0.5, 0, 1),
-                    step=bs,
+                    step=bs, dataformats="HWC",
                 )
                 self.summary_writer.add_image(
-                    "one_shot/swav_output", cluster0, step=bs
+                    "one_shot/swav_output", cluster0, step=bs,
+                    dataformats="HW" if cluster0.ndim == 2 else "HWC",
                 )
             pred0 = np.asarray(pred[0], dtype=np.float32)
             self.summary_writer.add_image(
                 "one_shot/predictions",
                 pred0 / max(float(pred0.max()), 1.0),
-                step=bs,
+                step=bs, dataformats="HW",
             )
 
         pred_labels = np.concatenate(pred_labels, axis=0)[:n]
@@ -981,14 +1044,16 @@ class _TensorBoardShim:
         if self._writer:
             self._writer.add_scalar(tag, value, step)
 
-    def add_image(self, tag, img, step=None):
+    def add_image(self, tag, img, step=None, dataformats=None):
         self.records.setdefault(tag, []).append((step, np.asarray(img).shape))
         if self._writer:
             img = np.asarray(img)
-            # trailing dim <=4 (1/2/3/4 channels) is HWC; anything wider is
-            # a CHW tensor (a bare (H,W,C>4) image would be mislabeled, but
-            # every caller here passes HW, HWC<=4, or torch-style CHW)
-            fmt = "HW" if img.ndim == 2 else (
-                "HWC" if img.shape[-1] <= 4 else "CHW"
-            )
-            self._writer.add_image(tag, img, step, dataformats=fmt)
+            if dataformats is None:
+                # heuristic fallback for callers that don't say: trailing
+                # dim <=4 (1/2/3/4 channels) is HWC; anything wider is a
+                # torch-style CHW tensor. A bare (H,W,C>4) image WOULD be
+                # mislabeled — pass dataformats explicitly in that case.
+                dataformats = "HW" if img.ndim == 2 else (
+                    "HWC" if img.shape[-1] <= 4 else "CHW"
+                )
+            self._writer.add_image(tag, img, step, dataformats=dataformats)

@@ -244,6 +244,35 @@ def feature_norm_map(features, hlen=None):
 # ---------------------------------------------------------------------------
 
 
+def make_pick_fn(sampling_method, h, w, patch):
+    """Pixel sampling per patch iteration (ref swav_clustering.py:150-167,
+    379-391).
+
+    'random': ``patch`` pixels from a fresh permutation of the image.
+    'patch': ONE offset p ~ U[0, h - patch) — the reference's
+    ``np.random.choice(h - patch_size)``, exclusive upper bound reproduced —
+    and the contiguous ``patch×patch`` block at (p, p): the SAME offset on
+    both axes, patch² pixels, as a traced window gather (flat row-major
+    indices, matching ``project_gathered``'s ``picks // w, picks % w``).
+    ``patch >= h`` means the whole image in either mode (ref :379-381).
+    """
+    npix = h * w
+    if sampling_method == "patch" and patch < h:
+        def draw_picks(key):
+            p = jax.random.randint(key, (), 0, h - patch)
+            rows = (p + jnp.arange(patch)) * w
+            cols = p + jnp.arange(patch)
+            return (rows[:, None] + cols[None, :]).reshape(-1)
+    elif sampling_method == "patch":
+        def draw_picks(key):
+            del key
+            return jnp.arange(npix)
+    else:
+        def draw_picks(key):
+            return jax.random.permutation(key, npix)[:patch]
+    return draw_picks
+
+
 def make_lr_schedule(swav_args, num_samples):
     """Warmup linspace + cosine (swav_clustering.py:303-317)."""
     if not swav_args.get("use_scheduler", False):
@@ -317,10 +346,14 @@ def make_swav_train_step(gen_meta, model_config, perturb_args, swav_args,
         )
         return feats
 
+    draw_picks = make_pick_fn(
+        swav_args.get("sampling_method", "random"), h, w, patch
+    )
+
     def loss_fn(ssl_params, feats_s, feats_t, img_s, img_t, pick_keys,
                 layer_s, layer_t):
         def patch_loss(key):
-            picks = jax.random.permutation(key, npix)[:patch]
+            picks = draw_picks(key)
             s_s = scores_fn(ssl_params, feats_s, picks)
             s_t = scores_fn(ssl_params, feats_t, picks)
             r_s, c_s = sinkhorn_marginals(s_s.shape, source_pdf, img_s)
@@ -637,13 +670,21 @@ class SwAVClustering:
                     raise ValueError(
                         f"snapshot config {saved_fp!r} != current {fp!r}"
                     )
-                self.ssl_params = state["ssl_params"]
-                opt_state = jax.tree.unflatten(
+                # parse the WHOLE snapshot into locals before mutating any
+                # state: a snapshot missing a field (truncated schema) must
+                # not leave self.ssl_params half-restored when the blanket
+                # except below falls back to epoch 0
+                new_ssl_params = state["ssl_params"]
+                new_opt_state = jax.tree.unflatten(
                     jax.tree.structure(opt_state),
                     jax.tree.leaves(state["opt"]),
                 )
-                start_epoch = int(state["epoch"])
-                self.key = state["key"]
+                new_epoch = int(state["epoch"])
+                new_key = state["key"]
+                self.ssl_params = new_ssl_params
+                opt_state = new_opt_state
+                start_epoch = new_epoch
+                self.key = new_key
                 if self.logger:
                     self.logger.info(
                         f"Resuming SwAV pretraining from epoch {start_epoch}"
@@ -686,13 +727,18 @@ class SwAVClustering:
                 e + 1
             ) >= self._abort_after_epoch:
                 raise _SimulatedPreemption(f"aborted after epoch {e + 1}")
-            if self.logger and e % sa.get("epoch_print_freq", 5) == 0:
-                self.logger.info(
-                    f" E:{e}\t|\tLoss: {float(loss):.03f} \t|"
-                    f"\tT: {_time.time() - t0:.03f}"
-                )
-            if self.writer is not None:
-                self.writer.add_scalar("swav/loss", float(loss), e)
+            # float(loss) is a device sync — gate BOTH consumers behind
+            # epoch_print_freq so the steady-state loop has zero per-epoch
+            # readbacks (an unconditional TB scalar was silently adding a
+            # ~0.45 s sync every epoch when a writer was attached)
+            if e % sa.get("epoch_print_freq", 5) == 0:
+                if self.logger:
+                    self.logger.info(
+                        f" E:{e}\t|\tLoss: {float(loss):.03f} \t|"
+                        f"\tT: {_time.time() - t0:.03f}"
+                    )
+                if self.writer is not None:
+                    self.writer.add_scalar("swav/loss", float(loss), e)
             if plot:
                 self._plot_epoch_predictions(test_z, test_imgs, e)
 
