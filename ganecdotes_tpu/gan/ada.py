@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ganecdotes_tpu.ops.affine_warp import affine_warp, norm_to_pixel_matrix
 from ganecdotes_tpu.ops.grid_sample import grid_sample_bilinear
 from ganecdotes_tpu.ops.upfirdn2d import upfirdn2d
 
@@ -229,11 +230,16 @@ def _translate_single(t_x, t_y):
 
 
 def random_apply_affine(img, p, key, G=None, antialiasing_kernel=SYM6,
-                        pad_frac=0.25):
+                        pad_frac=0.25, warp_impl="shear"):
     """Geometric ADA transform with SYM6 anti-aliasing (ref ada.py:464-517).
 
     img: (B, H, W, C) NHWC. Returns (img_out, G). Static reflect padding of
     ``pad_frac``·size + kernel margin replaces the reference's per-batch pad.
+
+    ``warp_impl``: 'shear' (default) applies the affine map with the
+    scatter-free two-pass resample (ops/affine_warp.py) — ~15× faster than
+    the gather on TPU and identical for every ε=0 transform; 'exact' keeps
+    the per-pixel bilinear gather (the grid_sample oracle).
     """
     k = np.asarray(antialiasing_kernel, dtype=np.float32)
     len_k = len(k)
@@ -271,8 +277,16 @@ def random_apply_affine(img, p, key, G=None, antialiasing_kernel=SYM6,
         @ G_inv
         @ _scale_single(1 / (2 / out_w), 1 / (2 / out_h))
     )
-    grid = _affine_grid(G_inv[:, :2, :], b, out_h, out_w)
-    img_affine = grid_sample_bilinear(img_2x, grid)
+    if warp_impl == "exact":
+        grid = _affine_grid(G_inv[:, :2, :], b, out_h, out_w)
+        img_affine = grid_sample_bilinear(img_2x, grid)
+    else:
+        M_pix = norm_to_pixel_matrix(
+            G_inv, img_2x.shape[1:3], (out_h, out_w)
+        )
+        img_affine = affine_warp(
+            img_2x, M_pix, out_hw=(out_h, out_w), impl=warp_impl
+        )
 
     d_p = -pad_k * 2
     down_pad = (d_p + (len_k - 1) // 2, d_p + (len_k - 2) // 2)
@@ -297,10 +311,11 @@ def random_apply_color(img, p, key, C=None):
     return apply_color(img, C), C
 
 
-def augment(img, p, key, transform_matrix=(None, None)):
+def augment(img, p, key, transform_matrix=(None, None), warp_impl="shear"):
     """Full ADA augmentation: affine then color (ref ada.py:540-544)."""
     k1, k2 = jax.random.split(key)
-    img, G = random_apply_affine(img, p, k1, transform_matrix[0])
+    img, G = random_apply_affine(img, p, k1, transform_matrix[0],
+                                 warp_impl=warp_impl)
     img, C = random_apply_color(img, p, k2, transform_matrix[1])
     return img, (G, C)
 

@@ -219,12 +219,25 @@ class BagGANHQ(GANBaseModel):
 
         size = config.image_size
         cm = getattr(config, "chl_multiplier", 2)
+        # resolution->channel map: the reference BagGAN generator defaults
+        # to a LEANER map than rosinality's (models/baggan/models.py:25-33
+        # — 256ch@16², halving upward); honoring it means a BagGAN trained
+        # from scratch here has the reference widths and its export
+        # round-trips into the reference StyleGANGenerator. None keeps the
+        # rosinality map (back-compat with chl_multiplier configs).
+        r2c = getattr(config, "res2chlmap", None)
+        if r2c == "baggan":
+            from ganecdotes_tpu.models.baggan.convert import (
+                BAGGAN_RES_TO_CHANNEL_MAP,
+            )
+
+            r2c = BAGGAN_RES_TO_CHANNEL_MAP
         # jit the inits: eager per-op dispatch is ~100x slower on a TPU relay
         self.generator_params = jax.jit(
             lambda k: init_generator(
                 k, size, style_dim=config.latent_dim,
                 n_mlp=config.generator_params.get("mlp_layers", 8),
-                channel_multiplier=cm,
+                channel_multiplier=cm, res2chlmap=r2c,
             )[0]
         )(kg)
         from ganecdotes_tpu.models.stylegan2.generator import generator_meta
@@ -232,7 +245,7 @@ class BagGANHQ(GANBaseModel):
         self.gen_meta = generator_meta(
             size, style_dim=config.latent_dim,
             n_mlp=config.generator_params.get("mlp_layers", 8),
-            channel_multiplier=cm,
+            channel_multiplier=cm, res2chlmap=r2c,
         )
         self.logger.info("Initialized Generator " + "+" * 40)
 
@@ -291,6 +304,10 @@ class BagGANHQ(GANBaseModel):
         d_meta = self.disc_meta
         adv = self.adversarial_loss
         use_aug = getattr(cfg, "augment", False)
+        # 'shear' = the scatter-free two-pass warp (ops/affine_warp.py) —
+        # the production default (96x faster fwd+bwd than the gather at
+        # 256^2 batch 16); 'exact' keeps the grid_sample oracle semantics
+        warp_impl = getattr(cfg, "ada_warp_impl", "shear")
         gan_mode = cfg.gan_mode
 
         n_latent = meta["n_latent"]
@@ -321,8 +338,10 @@ class BagGANHQ(GANBaseModel):
             k1, k2, k3 = jax.random.split(key, 3)
             d_in_fake, d_in_real = fake_img, real_img
             if use_aug:
-                d_in_fake, _ = augment(d_in_fake, ada_p, k1)
-                d_in_real, _ = augment(d_in_real, ada_p, k2)
+                d_in_fake, _ = augment(d_in_fake, ada_p, k1,
+                                       warp_impl=warp_impl)
+                d_in_real, _ = augment(d_in_real, ada_p, k2,
+                                       warp_impl=warp_impl)
             pred_fake = discriminator_forward(d_params, d_meta, d_in_fake)
             pred_real = discriminator_forward(d_params, d_meta, d_in_real)
             loss_d_out = adv(pred_fake, False)
@@ -363,7 +382,8 @@ class BagGANHQ(GANBaseModel):
                 def disc_fn(x):
                     xx = x
                     if use_aug:
-                        xx, _ = augment(xx, ada_p, key)
+                        xx, _ = augment(xx, ada_p, key,
+                                        warp_impl=warp_impl)
                     return discriminator_forward(d_params_inner, d_meta, xx)
 
                 penalty, pred = r1_penalty(disc_fn, real_img)
@@ -382,7 +402,7 @@ class BagGANHQ(GANBaseModel):
             fake_img, _ = synth(g_params, z, kz, inject_index)
             d_in = fake_img
             if use_aug:
-                d_in, _ = augment(d_in, ada_p, ka)
+                d_in, _ = augment(d_in, ada_p, ka, warp_impl=warp_impl)
             pred_fake = discriminator_forward(d_params, d_meta, d_in)
             return adv(pred_fake, True)
 

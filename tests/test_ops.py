@@ -267,3 +267,126 @@ def test_upfirdn2d_pallas_vmem_budget_holds():
             # hard ceiling: never claim more than a core's 16 MB of VMEM
             assert total <= 16 * 1024 * 1024, (hp, wp, c, itemsize, total)
             assert oy % 1 == 0 and c % ct == 0
+
+
+# ---------------------------------------------------------------------------
+# affine_warp: scatter-free separable warp vs the grid_sample oracle
+# ---------------------------------------------------------------------------
+
+
+def _center_affine(A2, hw, t=(0.0, 0.0)):
+    h, w = hw
+    cx, cy = (w - 1) / 2, (h - 1) / 2
+    A2 = np.asarray(A2, np.float32)
+    tx = cx - A2[0, 0] * cx - A2[0, 1] * cy + t[0]
+    ty = cy - A2[1, 0] * cx - A2[1, 1] * cy + t[1]
+    return np.array(
+        [[A2[0, 0], A2[0, 1], tx], [A2[1, 0], A2[1, 1], ty]], np.float32
+    )
+
+
+def _smooth_image(b, h, w, c):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack(
+        [np.sin(xx / 4 + i) + np.cos(yy / 5 - i) for i in range(c)], -1
+    )
+    return jnp.asarray(np.broadcast_to(img, (b, h, w, c)).copy())
+
+
+def test_affine_warp_shear_exact_for_separable_maps():
+    """Identity / translation / scale / x-shear / 90-degree maps have eps=0
+    in the two-pass factorization, so shear == exact bilinear bit-for-bit
+    (away from the border where pad semantics differ)."""
+    from ganecdotes_tpu.ops.affine_warp import (
+        affine_warp_exact,
+        affine_warp_shear,
+    )
+
+    h = w = 33
+    x = _smooth_image(2, h, w, 2) + 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (2, h, w, 2)
+    )
+    cases = [
+        _center_affine(np.eye(2), (h, w)),
+        _center_affine(np.eye(2), (h, w), (3.3, -2.7)),
+        _center_affine(np.diag([1.3, 0.8]), (h, w)),
+        _center_affine([[1, 0.4], [0, 1]], (h, w)),
+        _center_affine([[0, -1], [1, 0]], (h, w)),
+    ]
+    for m in cases:
+        M = jnp.asarray(np.stack([m, m]), jnp.float32)
+        ye = np.asarray(affine_warp_exact(x, M))[:, 8:-8, 8:-8]
+        ys = np.asarray(affine_warp_shear(x, M))[:, 8:-8, 8:-8]
+        np.testing.assert_allclose(ys, ye, atol=2e-5)
+
+
+def test_affine_warp_shear_close_for_rotations():
+    """Rotations interpolate on a sheared lattice (|eps| <= 1 by transpose
+    conditioning): tolerance parity on smooth images, mixed per-image
+    matrices exercising both the swap and no-swap branches."""
+    from ganecdotes_tpu.ops.affine_warp import (
+        affine_warp_exact,
+        affine_warp_shear,
+    )
+
+    h = w = 33
+    x = _smooth_image(3, h, w, 2)
+    mats = [
+        _center_affine(
+            [[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]], (h, w)
+        )
+        for a in (0.5, 1.4, 2.7)  # 29, 80, 155 degrees
+    ]
+    M = jnp.asarray(np.stack(mats), jnp.float32)
+    ye = np.asarray(affine_warp_exact(x, M))[:, 8:-8, 8:-8]
+    ys = np.asarray(affine_warp_shear(x, M))[:, 8:-8, 8:-8]
+    assert np.abs(ys - ye).max() < 0.03
+    assert np.abs(ys - ye).mean() < 0.005
+
+
+def test_affine_warp_shear_backward_uses_rolls_only():
+    """The entire point: jax.grad through the shear warp is rolls + selects
+    + transposed matmuls. A scatter (or gather) op in the compiled backward
+    would reintroduce the TPU's weakest primitive. (Matched as HLO op
+    syntax "scatter(" — the bare word appears in op metadata whenever the
+    calling test's *name* contains it.)"""
+    from ganecdotes_tpu.ops.affine_warp import affine_warp_shear
+
+    x = _smooth_image(2, 17, 17, 2)
+    m = _center_affine(
+        [[np.cos(0.5), -np.sin(0.5)], [np.sin(0.5), np.cos(0.5)]], (17, 17)
+    )
+    M = jnp.asarray(np.stack([m, m]), jnp.float32)
+    hlo = (
+        jax.jit(jax.grad(lambda v: jnp.sum(affine_warp_shear(v, M) ** 2)))
+        .lower(x)
+        .compile()
+        .as_text()
+    )
+    assert "scatter(" not in hlo
+    assert "gather(" not in hlo
+
+    # linearity sanity: the warp is linear in x, so the adjoint identity
+    # <A x, w> == <x, A^T w> must hold to fp precision
+    w_r = jax.random.normal(jax.random.PRNGKey(3), x.shape)
+    g = jax.grad(lambda v: jnp.sum(affine_warp_shear(v, M) * w_r))(x)
+    lhs = float(jnp.sum(affine_warp_shear(x, M) * w_r))
+    rhs = float(jnp.sum(x * g))
+    assert abs(lhs - rhs) < 1e-3
+
+
+def test_random_apply_affine_shear_matches_exact_impl():
+    """End-to-end ADA geometric pipeline (pad -> 2x up -> warp -> 2x down):
+    the shear and exact warp impls agree tightly after the wavelet
+    supersampling (band-limited input to the warp)."""
+    from ganecdotes_tpu.gan.ada import random_apply_affine
+
+    x = _smooth_image(4, 32, 32, 3)
+    key = jax.random.PRNGKey(11)
+    y_sh, G = random_apply_affine(x, 0.9, key, warp_impl="shear")
+    y_ex, G2 = random_apply_affine(x, 0.9, key, warp_impl="exact")
+    assert y_sh.shape == y_ex.shape == x.shape
+    np.testing.assert_allclose(np.asarray(G), np.asarray(G2), rtol=1e-6)
+    d = np.abs(np.asarray(y_sh) - np.asarray(y_ex))
+    assert d.mean() < 0.01
+    assert d.max() < 0.12  # corner pixels of strong rotations
