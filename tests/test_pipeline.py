@@ -337,3 +337,108 @@ def test_pipeline_inference_dtype_bf16(tmp_path, tiny_configs):
     )
     pipe.run_pipeline()
     assert pipe.mean_mask_iou >= 0.0
+
+
+def test_online_input_noises_shape_synthesis(tmp_path, tiny_configs):
+    """Online mode honors fed per-layer noise (verdict: the reference
+    assigns one_shot_noise but never feeds it — here different input_noises
+    must produce a different one-shot synthesis)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ganecdotes_tpu.pipeline.one_shot_pipeline import OneShotPipeline
+
+    def build(tag):
+        pipe = OneShotPipeline(
+            out_dir=str(tmp_path / f"noise_{tag}"),
+            model="ffhq-256", segmentor="repurposegan", mode="online",
+            num_test_samples=2,
+            custom={"model": tiny_configs["model"],
+                    "trainer": tiny_configs["trainer"],
+                    "seg": tiny_configs["rp"]},
+        )
+        # StyleGAN2 inits noise-injection weights to 0; make noise visible
+        pipe.model.params["conv1"]["noise_weight"] = jnp.ones(())
+        for c in pipe.model.params["convs"]:
+            c["noise_weight"] = jnp.ones(())
+        return pipe
+
+    lat = jax.random.normal(jax.random.PRNGKey(0), (512,))
+    pipe = build("a")
+    n1 = pipe.model.make_noise(jax.random.PRNGKey(1))
+    n2 = pipe.model.make_noise(jax.random.PRNGKey(2))
+
+    pipe.run_pipeline(input_latent=lat, input_noises=n1,
+                      blocks_to_run=("setup",))
+    img1 = np.asarray(pipe.one_shot_img)
+    assert [tuple(n.shape) for n in pipe.one_shot_noise] == [
+        tuple(n.shape) for n in n1
+    ]
+
+    pipe2 = build("b")
+    pipe2.run_pipeline(input_latent=lat, input_noises=n2,
+                       blocks_to_run=("setup",))
+    img2 = np.asarray(pipe2.one_shot_img)
+    assert img1.shape == img2.shape
+    assert not np.allclose(img1, img2), "fed noises must shape the synthesis"
+
+    # same noises => identical synthesis (deterministic path)
+    pipe3 = build("c")
+    pipe3.run_pipeline(input_latent=lat, input_noises=n1,
+                       blocks_to_run=("setup",))
+    np.testing.assert_allclose(np.asarray(pipe3.one_shot_img), img1,
+                               atol=1e-5)
+
+
+def test_sample_noises_config_branch(tmp_path, tiny_configs):
+    """A model config with ``sample_noises`` loads per-layer noises from the
+    path and skips truncation in the setup forward (ref
+    one_shot_pipeline.py:356,395-399,426-430)."""
+    import textwrap as _tw
+
+    import jax
+    import jax.numpy as jnp
+
+    from ganecdotes_tpu.pipeline.one_shot_pipeline import OneShotPipeline
+
+    noise_dir = tmp_path / "noises"
+    noise_dir.mkdir()
+    rng = np.random.RandomState(0)
+    # size-32 generator: 7 noise layers at 4,8,8,16,16,32,32
+    for i, s in enumerate([4, 8, 8, 16, 16, 32, 32]):
+        np.save(noise_dir / f"noise_{i}.npy",
+                rng.randn(1, s, s, 1).astype(np.float32))
+
+    model_cfg = tmp_path / "model_noises_config.py"
+    model_cfg.write_text(
+        open(tiny_configs["model"]).read()
+        + _tw.dedent(f"""
+        sample_noises = {str(noise_dir)!r}
+        """)
+    )
+
+    def build(cfg_path, tag):
+        pipe = OneShotPipeline(
+            out_dir=str(tmp_path / f"sn_{tag}"),
+            model="ffhq-256", segmentor="repurposegan",
+            num_test_samples=2,
+            custom={"model": cfg_path,
+                    "trainer": tiny_configs["trainer"],
+                    "seg": tiny_configs["rp"]},
+        )
+        pipe.model.params["conv1"]["noise_weight"] = jnp.ones(())
+        for c in pipe.model.params["convs"]:
+            c["noise_weight"] = jnp.ones(())
+        return pipe
+
+    pipe = build(str(model_cfg), "with")
+    pipe.run_pipeline(blocks_to_run=("setup",))
+    assert pipe.one_shot_noise is not None and len(pipe.one_shot_noise) == 7
+    img_noises = np.asarray(pipe.one_shot_img)
+
+    pipe0 = build(tiny_configs["model"], "without")
+    pipe0.run_pipeline(blocks_to_run=("setup",))
+    assert pipe0.one_shot_noise is None
+    # different noise source (loaded vs fixed buffers) + truncation skip
+    # => different synthesis
+    assert not np.allclose(img_noises, np.asarray(pipe0.one_shot_img))
