@@ -23,6 +23,22 @@ def load_baggan_generator(model_config, key=None, logger=None):
     from ganecdotes_tpu.models.stylegan2.generator import Generator
 
     ga = dict(model_config.gen_args)
+    # random-init widths: honor an explicit res2chlmap (gen_args or the
+    # BagGAN run config) — the reference BagGAN default is leaner than
+    # rosinality's (models/baggan/models.py:25-33)
+    r2c = ga.get("res2chlmap")
+    cfg_path = getattr(model_config, "config_path", None)
+    baggan_cfg = None
+    if cfg_path and os.path.exists(cfg_path):
+        baggan_cfg = load_config(cfg_path, "baggan_config")
+        if r2c is None:
+            r2c = getattr(baggan_cfg, "res2chlmap", None)
+    if r2c == "baggan":
+        from ganecdotes_tpu.models.baggan.convert import (
+            BAGGAN_RES_TO_CHANNEL_MAP,
+        )
+
+        r2c = BAGGAN_RES_TO_CHANNEL_MAP
     g = Generator(
         size=ga.get("size", 256),
         style_dim=ga.get("style_dim", 512),
@@ -30,12 +46,9 @@ def load_baggan_generator(model_config, key=None, logger=None):
         channel_multiplier=ga.get("channel_multiplier", 2),
         blur_kernel=tuple(ga.get("blur_kernel", (1, 3, 3, 1))),
         key=key,
+        res2chlmap=r2c,
     )
-
-    cfg_path = getattr(model_config, "config_path", None)
-    if cfg_path and os.path.exists(cfg_path):
-        baggan_cfg = load_config(cfg_path, "baggan_config")
-
+    if baggan_cfg is not None:
         # 'latest' wins; otherwise the numerically highest epoch
         # (lexicographic sort would pick '9' over '10')
         def rank(p):
@@ -70,7 +83,7 @@ def load_baggan_generator(model_config, key=None, logger=None):
             g.params, g.meta = load_baggan_torch_checkpoint(
                 best, ga.get("size", 256),
                 style_dim=ga.get("style_dim", 512),
-                res2chlmap=getattr(baggan_cfg, "res2chlmap", None),
+                res2chlmap=r2c,
             )
             if logger:
                 logger.info(f"Imported reference BagGAN generator: {best}")

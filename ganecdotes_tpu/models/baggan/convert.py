@@ -133,3 +133,110 @@ def load_baggan_torch_checkpoint(path, img_resolution, **kw):
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     return convert_baggan_generator_state(sd, img_resolution, **kw)
+
+
+# ---------------------------------------------------------------------------
+# export: pytree -> reference state_dict (inverse of the importer above)
+# ---------------------------------------------------------------------------
+
+
+def export_baggan_generator_state(params, blur_kernel=(1, 3, 3, 1)):
+    """TPU generator pytree -> reference ``StyleGANGenerator`` state_dict
+    (numpy values, reference key layout / NCHW shapes) — the inverse of
+    ``convert_baggan_generator_state`` so a BagGAN trained here round-trips
+    into the reference classes via ``'%s_net_%s.pth'``
+    (models/baggan/base_model.py:153-176).
+
+    Beyond the learned tensors, a loadable state_dict also needs the
+    reference's registered buffers and dead parameters:
+
+    * FIR kernel buffers — deterministic: outer(k,k)/sum ·scale²
+      (blocks.py:232-237, 282-310) on every upsampling SynthesisBlock
+      (``conv_blks.{even}.style_block.blur.kernel``) and every skip
+      upsampler (``x_to_img_blks.{j}.upsample.kernel``);
+    * ``head_m`` — a 4-conv mask head that the reference constructs but
+      never calls (models.py:203-207; its only use, :369, is commented
+      out). Exported as zeros: shape-complete, functionally dead.
+    """
+
+    def lin(p):
+        out = {"weight": np.asarray(p["weight"], np.float32).T}
+        if "bias" in p:
+            out["bias"] = np.asarray(p["bias"], np.float32)
+        return out
+
+    def modconv(p):
+        # HWIO -> (1, out, in, kh, kw)
+        w = np.transpose(np.asarray(p["weight"], np.float32), (3, 2, 0, 1))
+        out = {"weight": w[None]}
+        for k, v in lin(p["modulation"]).items():
+            out["mod." + k] = v
+        return out
+
+    def synthesis(p):
+        out = {}
+        for k, v in modconv(p["conv"]).items():
+            out["style_block." + k] = v
+        out["noise_block.weight"] = np.asarray(
+            p["noise_weight"], np.float32
+        ).reshape(1)
+        out["activation.bias"] = np.asarray(p["bias"], np.float32)
+        return out
+
+    def x_to_img(p):
+        out = {}
+        for k, v in modconv(p["conv"]).items():
+            out["conv." + k] = v
+        out["bias"] = np.asarray(p["bias"], np.float32).reshape(1, -1, 1, 1)
+        return out
+
+    sd = {}
+    for i, layer in enumerate(params["style"]):
+        # mapper index 0 is the parameter-free PixelNorm (models.py:68-70)
+        for k, v in lin(layer).items():
+            sd[f"style.mapper.{i + 1}.{k}"] = v
+    sd["const_input_block.const_block"] = np.transpose(
+        np.asarray(params["input"], np.float32), (0, 3, 1, 2)
+    )
+    for k, v in synthesis(params["conv1"]).items():
+        sd["conv_init." + k] = v
+    for k, v in x_to_img(params["to_rgb1"]).items():
+        sd["x_to_img_init." + k] = v
+    for j, blk in enumerate(params["convs"]):
+        for k, v in synthesis(blk).items():
+            sd[f"conv_blks.{j}.{k}"] = v
+    for j, blk in enumerate(params["to_rgbs"]):
+        for k, v in x_to_img(blk).items():
+            sd[f"x_to_img_blks.{j}.{k}"] = v
+    for l, n in enumerate(params["noises"]):
+        sd[f"noise_blks.noise_{l}"] = np.transpose(
+            np.asarray(n, np.float32), (0, 3, 1, 2)
+        )
+
+    # FIR kernel buffers (normalized outer product x scale^2 for upsampling,
+    # blocks.py:232-237): even conv_blks are the upsample convs
+    k = np.asarray(blur_kernel, np.float32)
+    k2 = np.outer(k, k)
+    k_up = (k2 / k2.sum() * 4.0).astype(np.float32)
+    for j in range(len(params["convs"])):
+        if j % 2 == 0:
+            sd[f"conv_blks.{j}.style_block.blur.kernel"] = k_up
+    for j in range(len(params["to_rgbs"])):
+        sd[f"x_to_img_blks.{j}.upsample.kernel"] = k_up
+
+    # dead mask head (models.py:203-207, never called): zero-filled
+    for i in range(4):
+        sd[f"head_m.{i}.weight"] = np.zeros((1, 1, 3, 3), np.float32)
+        sd[f"head_m.{i}.bias"] = np.zeros((1,), np.float32)
+    return sd
+
+
+def save_baggan_torch_checkpoint(path, params):
+    """Write ``params`` as a reference-loadable ``*_net_G.pth``."""
+    import torch
+
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in export_baggan_generator_state(params).items()
+    }
+    torch.save(sd, path)
