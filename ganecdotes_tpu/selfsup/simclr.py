@@ -175,6 +175,9 @@ class SimCLRClustering:
         self.perturb_args = perturb_args
         self.simclr_args = simclr_args
         self.logger = logger
+        # opt-in per-iter loss trace (device sync per append; used by tests)
+        self.record_loss_history = False
+        self.loss_history = []
         self.train = train
         self.out_dir = out_dir
         self.writer = tb
@@ -228,13 +231,18 @@ class SimCLRClustering:
             self.params, opt_state, loss = step(
                 self.model.params, self.params, opt_state, ks
             )
-            if self.logger and e % sa.get("epoch_print_freq", 5) == 0:
-                self.logger.info(
-                    f" (Iter:{e}):\tLoss: {float(loss):.03f},"
-                    f"\tTime: {_time.time() - t0:.03f}"
-                )
-            if self.writer is not None:
-                self.writer.add_scalar("simclr/loss", float(loss), e)
+            if self.record_loss_history:
+                self.loss_history.append(float(loss))
+            # float(loss) is a device sync — gate the TB scalar with the
+            # print cadence so the steady-state loop stays sync-free
+            if e % sa.get("epoch_print_freq", 5) == 0:
+                if self.logger:
+                    self.logger.info(
+                        f" (Iter:{e}):\tLoss: {float(loss):.03f},"
+                        f"\tTime: {_time.time() - t0:.03f}"
+                    )
+                if self.writer is not None:
+                    self.writer.add_scalar("simclr/loss", float(loss), e)
         if self.params_file:
             save_pytree(self.params_file, self.params)
 

@@ -515,6 +515,10 @@ class SwAVClustering:
         # fault-injection hook: raise _SimulatedPreemption after this many
         # epochs (tests the elastic-resume path; None = never)
         self._abort_after_epoch = None
+        # opt-in per-epoch loss trace (each append is a device sync; tests
+        # use it to assert the loss actually decreases)
+        self.record_loss_history = False
+        self.loss_history = []
         self.model = model
         self.model_config = model_config
         self.perturb_args = perturb_args
@@ -727,6 +731,8 @@ class SwAVClustering:
                 e + 1
             ) >= self._abort_after_epoch:
                 raise _SimulatedPreemption(f"aborted after epoch {e + 1}")
+            if self.record_loss_history:
+                self.loss_history.append(float(loss))
             # float(loss) is a device sync — gate BOTH consumers behind
             # epoch_print_freq so the steady-state loop has zero per-epoch
             # readbacks (an unconditional TB scalar was silently adding a

@@ -2,6 +2,7 @@
 data-parallel inference parity, psum'd ADA statistics, and the full
 dryrun_multichip training step."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -206,3 +207,86 @@ def test_swav_batch_step_matches_single_sample():
         ),
         p1, pb,
     )
+
+
+@pytest.mark.slow
+def test_distributed_init_two_process_psum(tmp_path):
+    """Multi-host path exercised for real: 2 subprocesses, each 4 forced CPU
+    devices, joined through distributed_init into ONE 8-device global mesh,
+    running a psum across the process boundary (the DCN dimension of
+    SURVEY §5's distributed backend).
+
+    Each worker asserts the global device/process counts and that the psum
+    result equals the sum over BOTH processes' shards — a process silently
+    running single-host would see half the device count or half the sum.
+    """
+    import subprocess
+    import sys
+    import textwrap
+
+    worker = textwrap.dedent(
+        """
+        import os, sys
+        sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
+        os.environ["PYTHONPATH"] = os.pathsep.join(
+            p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+            if p and ".axon_site" not in p)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = (
+            "--xla_force_host_platform_device_count=4")
+        sys.path.insert(0, {repo!r})
+
+        pid = int(sys.argv[1])
+        from ganecdotes_tpu.parallel.mesh import (
+            distributed_init, make_mesh, shard_batch)
+        ok = distributed_init(coordinator_address="localhost:{port}",
+                              num_processes=2, process_id=pid)
+        assert ok, "distributed_init returned False under a coordinator"
+
+        import jax, numpy as np
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        assert jax.process_count() == 2, jax.process_count()
+        assert len(jax.devices()) == 8, len(jax.devices())
+
+        mesh = make_mesh(8)
+        # global batch 0..7 split over the mesh; every process materializes
+        # only its addressable half
+        sharding = NamedSharding(mesh, P("data"))
+        flat = list(mesh.devices.flat)
+        arrs = [
+            jax.device_put(
+                np.asarray([float(flat.index(d))], np.float32), d
+            )
+            for d in mesh.local_devices
+        ]
+        x = jax.make_array_from_single_device_arrays(
+            (8,), sharding, arrs)
+
+        @jax.jit
+        def total(v):
+            return jnp.sum(v)  # all-reduce over BOTH processes' shards
+
+        got = float(total(x))
+        assert got == 28.0, got  # sum(0..7) spans the process boundary
+        print(f"proc {{pid}} OK", flush=True)
+        """
+    ).format(repo=os.getcwd(), port=29511)
+
+    script = tmp_path / "worker.py"
+    script.write_text(worker)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"proc {pid} OK" in out

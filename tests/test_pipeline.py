@@ -146,10 +146,40 @@ def _run(tmp_path, tiny_configs, method, seg_key):
     pipe.run_pipeline()
     assert os.path.exists(os.path.join(out, "tests", "results.npz"))
     assert os.path.exists(os.path.join(out, "tests", "mask_iou_results.csv"))
-    assert pipe.mean_mask_iou >= 0.0
+    # the one-shot head must LEARN, not merely terminate: beat the best
+    # constant predictor (majority class of the one-shot label) under the
+    # pipeline's own mean-mask-IoU metric on the same test labels
     preds = np.load(os.path.join(out, "tests", "label_predictions.npy"))
     assert preds.shape[0] == 3
+    baseline = _majority_class_mean_iou(pipe)
+    assert pipe.mean_mask_iou > baseline, (
+        f"head did not beat the majority-class baseline: "
+        f"{pipe.mean_mask_iou:.4f} <= {baseline:.4f}"
+    )
     return pipe
+
+
+def _majority_class_mean_iou(pipe):
+    """Mean mask IoU of the constant majority-class predictor, computed with
+    the pipeline's own metric over the same resized test labels."""
+    from ganecdotes_tpu.metrics.segmentation import get_mask_iou
+    from ganecdotes_tpu.ops.interp import resize_nearest
+    import jax.numpy as jnp
+
+    labels = np.asarray(pipe.test_labels)[: pipe.num_test_samples]
+    size = pipe.model_config.image_size
+    if labels.shape[-1] != size:
+        labels = np.asarray(resize_nearest(jnp.asarray(labels)[..., None],
+                                           size))[..., 0]
+    one_shot = np.asarray(pipe.one_shot_label).ravel().astype(np.int64)
+    maj = int(np.bincount(one_shot).argmax())
+    n_class = len(pipe.model_config.classes)
+    const = np.full_like(labels[0], maj)
+    ious = [
+        np.mean([get_mask_iou(l, const, c) for c in range(n_class)])
+        for l in labels
+    ]
+    return float(np.mean(ious))
 
 
 @pytest.mark.slow
