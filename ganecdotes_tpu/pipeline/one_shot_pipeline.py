@@ -466,6 +466,11 @@ class OneShotPipeline:
                 kseg, in_ch, n_class, self.seg_size
             )
             self._seg_is_mlp = False
+        # cross-framework hook: start the fine-tune from EXPLICIT weights
+        # (the parity harness copies the reference head's torch init here so
+        # both frameworks train the identical function from the same point)
+        if getattr(self, "segmentor_init_params", None) is not None:
+            self.segmentor_params = self.segmentor_init_params
 
         self._train_segmentor()
 
