@@ -239,17 +239,30 @@ def flops_of(jfn, args):
         return None
 
 
-def sweep(method="swav", iters=20, start=32):
+def sweep(method="swav", iters=20, start=32, keep_best=False):
     """Double the batch until throughput regresses, then probe the 1.5×
-    midpoint below the regression point (no chip-specific magic numbers)."""
-    results = {}
+    midpoint below the regression point (no chip-specific magic numbers).
+
+    Every probe's device buffers are deleted BEFORE the next probe runs:
+    round 2 kept each swept batch's (executable, args) alive until the
+    sweep finished, and the residual HBM pressure made in-driver sweeps
+    regress early (hfc_kmeans peaked at 631 img/s @ batch 32 in-driver vs
+    ~713 @ 192 standalone — the two now agree). ``keep_best`` rebuilds the
+    winner's program afterwards for callers that need it (cost analysis).
+    """
+    results = {}  # batch -> img/s only; no buffers retained
 
     def measure(b):
         if b in results:
             return results[b]
         try:
             jfn, args = build(b, jnp.bfloat16, method)
-            results[b] = (b / timed(jfn, args, iters), jfn, args)
+            tput = b / timed(jfn, args, iters)
+            for leaf in jax.tree.leaves(args):
+                if hasattr(leaf, "delete"):
+                    leaf.delete()
+            del jfn, args
+            results[b] = tput
         except Exception as e:
             if not results:
                 # the smallest batch failing is a real breakage, not an OOM
@@ -258,28 +271,24 @@ def sweep(method="swav", iters=20, start=32):
             import sys
 
             print(f"bench: batch {b} failed ({e!r})", file=sys.stderr)
-            results[b] = (0.0, None, None)
+            results[b] = 0.0
         return results[b]
 
     b = start
     while b <= 1024:
-        tput = measure(b)[0]
-        if tput <= 0 or (b > start and tput < results[b // 2][0]):
+        tput = measure(b)
+        if tput <= 0 or (b > start and tput < results[b // 2]):
             break
         b *= 2
-    best_b = max(results, key=lambda k: results[k][0])
+    best_b = max(results, key=lambda k: results[k])
     mid = best_b * 3 // 2
-    if results[best_b][0] > 0 and mid not in results:
+    if results[best_b] > 0 and mid not in results:
         measure(mid)
-    best_b = max(results, key=lambda k: results[k][0])
-    # drop non-best executables + argument buffers: holding every swept
-    # batch's program alive across methods exhausts HBM by the 4th sweep
-    # (observed: labels-only sweep died ResourceExhausted in-process but
-    # ran fine standalone)
-    for k in list(results):
-        if k != best_b:
-            results[k] = (results[k][0], None, None)
-    return best_b, results[best_b]
+    best_b = max(results, key=lambda k: results[k])
+    if keep_best:
+        jfn, args = build(best_b, jnp.bfloat16, method)
+        return best_b, (results[best_b], jfn, args)
+    return best_b, (results[best_b], None, None)
 
 
 def finetune_northstar():
@@ -363,7 +372,7 @@ def main():
         with jax.profiler.trace(trace_dir):
             jax.block_until_ready(jfn(*args))
 
-    best_b, (best, jfn, args) = sweep("swav")
+    best_b, (best, jfn, args) = sweep("swav", keep_best=True)
 
     flops = flops_of(jfn, args)
     kind = jax.devices()[0].device_kind

@@ -110,12 +110,14 @@ def setup_reference_pipeline():
                 if tuple(t.shape[-2:]) == tuple(size):
                     out = t
                 else:
-                    mode = (
-                        "nearest"
-                        if self.interpolation is not None
-                        and "NEAREST" in str(self.interpolation).upper()
-                        else "bilinear"
+                    # torchvision accepts PIL constants: Image.NEAREST is
+                    # the INT 0 in this Pillow (not a Resampling enum)
+                    interp = self.interpolation
+                    nearest = interp is not None and (
+                        (isinstance(interp, int) and int(interp) == 0)
+                        or "NEAREST" in str(interp).upper()
                     )
+                    mode = "nearest" if nearest else "bilinear"
                     dt = t.dtype
                     out = _F.interpolate(
                         t.float(), size=size, mode=mode,

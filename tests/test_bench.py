@@ -48,7 +48,9 @@ def test_bench_programs_trace(method, size):
 
 
 def test_bench_sweep_drops_nonbest_executables():
-    """sweep() must free non-best programs (HBM exhaustion regression)."""
+    """sweep() must free EVERY probe's buffers as it goes (HBM-pressure
+    regression: retained probes skewed in-driver method sweeps low), and
+    only rebuild the winner when keep_best is requested."""
     calls = []
 
     def fake_build(b, dtype, method):
@@ -67,9 +69,13 @@ def test_bench_sweep_drops_nonbest_executables():
     bench.timed = lambda jfn, args, iters=20: fake_times[args[0].shape[0]]
     try:
         best_b, (tput, jfn, args) = bench.sweep("swav")
+        assert jfn is None and args is None  # nothing retained by default
+        best_b2, (tput2, jfn2, args2) = bench.sweep("swav", keep_best=True)
     finally:
         bench.build, bench.timed = orig_build, orig_timed
 
-    assert best_b == 64
-    assert jfn is not None and args is not None
-    assert calls == [32, 64, 128, 96]
+    assert best_b == best_b2 == 64
+    assert tput == tput2
+    assert jfn2 is not None and args2 is not None
+    # probes in doubling order + midpoint, then ONE rebuild of the winner
+    assert calls == [32, 64, 128, 96] * 2 + [64]

@@ -163,3 +163,156 @@ def test_cross_framework_repurposegan_miou_parity(tmp_path):
     assert abs(
         float(ref_tab.mean(axis=0).mean()) - float(our_tab.mean(axis=0).mean())
     ) < 0.02
+
+
+def test_cross_framework_hfc_kmeans_miou_parity(tmp_path):
+    """Second deterministic method: the reference trains its sklearn
+    clusterers, we IMPORT the saved .sav models (exact argmin parity).
+
+    Unlike repurposegan (continuous features -> masks match exactly even
+    after 60 independent Adam runs), kmeans features are BLOCK-CONSTANT
+    ±1 one-hot maps: all 16 pixels of an upsampled block share identical
+    logits, so the tiniest optimizer fp drift flips whole blocks' argmax
+    together and the two independently-trained heads diverge at block
+    granularity. The parity design therefore splits the claim:
+
+    1. inference-path parity: copy the reference's TRAINED head across and
+       fine-tune with lr=0 — generate->cluster-assign->head->argmax must
+       then agree >= 0.95 (it's the whole deterministic path);
+    2. training-quality parity: each framework trains from the same init;
+       their GT mean-mask-IoU tables must agree closely."""
+    import shutil
+
+    torch, RefPipeline = _setup()
+    from ref_harness import CLASSES, build_tiny_artifacts
+
+    art = build_tiny_artifacts(torch, str(tmp_path / "artifacts"))
+
+    def seg_cfg_text(presaved):
+        return f"""
+n_layers = 7
+n_hfc_layers = 2
+clusters_per_layer = [4, 8]
+train_hfc = {not presaved}
+hfc_prep_args = dict(
+    perturb_args=dict(truncation=0.7, n_layers=n_hfc_layers, n_samples=2,
+                      perturb_std=[1.0]*n_hfc_layers),
+    hfc_algo='hfc_kmeans',
+    hfc_args=dict(
+        kmeans_args=dict(verbose=0),
+        base_args=dict(out_dir=None, n_layers=n_hfc_layers,
+                       clusters_per_layer=clusters_per_layer, out_size=32,
+                       presaved={presaved})),
+    hier_encode=False,
+    hle_samples=2,
+    train={not presaved},
+)
+seg_args = dict(size='S', in_ch=sum(clusters_per_layer))
+"""
+
+    ref_seg = tmp_path / "ref_seg_config.py"
+    ref_seg.write_text(seg_cfg_text(presaved=False))
+    our_seg = tmp_path / "our_seg_config.py"
+    our_seg.write_text(seg_cfg_text(presaved=True))
+
+    pinned_ml = np.load(art["mean_latent"])
+
+    # ---- reference run: trains + saves clusterer_layer_{n}.sav ------------
+    ref_out = str(tmp_path / "ref_out")
+    ref_pipe = RefPipeline(
+        out_dir=ref_out, model="ffhq-256", segmentor="hfc_kmeans",
+        custom={
+            "model": art["model_cfg"],
+            "seg": str(ref_seg),
+            "trainer": art["trainer_cfg"],
+        },
+        device="cpu", num_test_samples=3,
+    )
+    # pin the truncation target everywhere (predict_hfc_vectors re-draws
+    # mean_latent per call, baseline/hfc_kmeans/segmentor.py:182)
+    ref_pipe.mean_latent = torch.from_numpy(pinned_ml)
+    ref_pipe.model.mean_latent = lambda n: torch.from_numpy(pinned_ml)
+
+    captured = {}
+    orig_cls = ref_pipe.segmentor
+
+    def capturing(*a, **k):
+        import copy
+
+        m = orig_cls(*a, **k)
+        captured["sd"] = copy.deepcopy(m.state_dict())
+        return m
+
+    ref_pipe.segmentor = capturing
+    torch.manual_seed(7)
+    ref_pipe.run_pipeline()
+    trained_sd = {
+        k: v.detach().clone() for k, v in ref_pipe.segmentor.state_dict().items()
+    }
+
+    ref_pred = torch.load(
+        os.path.join(ref_out, "tests", "label_predictions.pt"),
+        map_location="cpu", weights_only=False,
+    ).numpy()
+    import pandas as pd
+
+    ref_tab = pd.read_csv(
+        os.path.join(ref_out, "tests", "mask_iou_results.csv"), index_col=0
+    )
+
+    # ---- TPU pipeline: import the reference clusterers --------------------
+    import jax.numpy as jnp
+
+    from ganecdotes_tpu.pipeline.one_shot_pipeline import OneShotPipeline
+
+    frozen_trainer = tmp_path / "trainer_frozen_config.py"
+    frozen_trainer.write_text(
+        open(art["trainer_cfg"]).read().replace("lr = 0.001", "lr = 0.0")
+    )
+
+    def run_ours(tag, trainer_cfg, head_params):
+        our_out = str(tmp_path / f"tpu_out_{tag}")
+        os.makedirs(our_out, exist_ok=True)
+        for f in os.listdir(ref_out):
+            if f.startswith("clusterer_layer_") or f == "model_stats.npz":
+                shutil.copy(os.path.join(ref_out, f),
+                            os.path.join(our_out, f))
+        pipe = OneShotPipeline(
+            out_dir=our_out, model="ffhq-256", segmentor="hfc_kmeans",
+            num_test_samples=3,
+            custom={
+                "model": art["model_cfg"],
+                "seg": str(our_seg),
+                "trainer": trainer_cfg,
+            },
+        )
+        pipe.mean_latent = jnp.asarray(pinned_ml)
+        pipe.preprocessor.mean_latent = jnp.asarray(pinned_ml)
+        pipe.segmentor_init_params = head_params
+        pipe.run_pipeline()
+        pred = np.load(
+            os.path.join(our_out, "tests", "label_predictions.npy")
+        )
+        tab = pd.read_csv(
+            os.path.join(our_out, "tests", "mask_iou_results.csv"),
+            index_col=0,
+        )
+        return pred, tab
+
+    # 1) inference parity: the reference's trained head, lr=0
+    our_pred, _ = run_ours(
+        "frozen", str(frozen_trainer), _head_sd_to_pytree(trained_sd)
+    )
+    assert ref_pred.shape == our_pred.shape
+    miou = _interframework_miou(ref_pred, our_pred, len(CLASSES))
+    print(f"\ninter-framework mask IoU (hfc_kmeans, shared head): {miou:.4f}")
+    assert miou >= 0.95, f"inter-framework mask IoU {miou:.4f} < 0.95"
+
+    # 2) training-quality parity: same init, independent training
+    _, our_tab = run_ours(
+        "trained", art["trainer_cfg"], _head_sd_to_pytree(captured["sd"])
+    )
+    ref_mean = float(ref_tab.mean(axis=0).mean())
+    our_mean = float(our_tab.mean(axis=0).mean())
+    print(f"gt mean-mask-IoU: ref {ref_mean:.4f} vs ours {our_mean:.4f}")
+    assert abs(ref_mean - our_mean) < 0.05
