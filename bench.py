@@ -145,7 +145,7 @@ def build(batch, dtype, method="swav"):
     elif method == "simclr":
         from ganecdotes_tpu.selfsup.simclr import (
             init_simclr_params,
-            simclr_predict_from_features,
+            simclr_predict_segment,
         )
 
         ssl = init_simclr_params(ks, 4864, 512)
@@ -153,15 +153,12 @@ def build(batch, dtype, method="swav"):
 
         def fn(gen_params, ssl_params, seg_params, latents):
             img, feats = synth(gen_params, latents)
-
-            # per-image BN stats, as the pipeline's vmap'd embed
-            def one(fs):
-                return simclr_predict_from_features(
-                    ssl_params, [f[None] for f in fs], 4864
-                )[0]
-
-            z = jax.vmap(one)(feats)
-            logits = one_shot_segmentor_apply(seg_params, z, "XS")
+            # fused pipeline path: per-image BN as axis reductions, lin2
+            # folded into the head's first conv (no second full-res
+            # 512-wide tensor) — exact vs the vmapped per-image form
+            logits = simclr_predict_segment(
+                ssl_params, feats, seg_params, "XS", 4864
+            )
             return img, jnp.argmax(logits, axis=-1)
 
     elif method == "hfc_kmeans":

@@ -623,11 +623,40 @@ class OneShotPipeline:
             else:
                 from ganecdotes_tpu.selfsup.simclr import (
                     simclr_predict_from_features,
+                    simclr_predict_segment,
                 )
 
                 params = pre.params
                 hlen = pre.simclr_args["hlen"]
                 interp = pre.simclr_args.get("hf_interp", "nearest")
+
+                if not self._seg_is_mlp:
+                    # fused inference: per-image BN as axis reductions +
+                    # lin2 folded into the head's first layer — the second
+                    # full-res 512-wide tensor never exists (427 → 672
+                    # img/s at 256² batch 96; exact). Display cluster
+                    # labels come from a 1-sample unfused embedding.
+                    @jax.jit
+                    def infer(gen_params, seg_params, latents):
+                        img, feats = generator_forward(
+                            gen_params, meta, [latents], input_is_latent=True,
+                            truncation=truncation,
+                            truncation_latent=mean_latent,
+                            randomize_noise=False, dtype=dtype,
+                        )
+                        logits = simclr_predict_segment(
+                            params, feats, seg_params, seg_size, hlen, interp
+                        )
+                        z0 = simclr_predict_from_features(
+                            params, [f[:1] for f in feats], hlen, interp
+                        )
+                        return (
+                            img,
+                            jnp.argmax(logits, axis=-1),
+                            jnp.argmax(z0, axis=-1),
+                        )
+
+                    return infer
 
                 def embed_one(feats):
                     return simclr_predict_from_features(

@@ -681,3 +681,62 @@ def test_simclr_pretrain_loss_decreases(tmp_path):
     assert hist.shape[0] == 10 and np.isfinite(hist).all()
     assert hist[-1] < hist[0], f"no improvement: {hist}"
     assert hist[-3:].mean() < hist[:3].mean(), f"no downward trend: {hist}"
+
+
+def test_simclr_fused_segment_matches_vmapped_form():
+    """simclr_predict_segment (per-image-axis BN + lin2 folded into the
+    head's first conv) is exact vs the per-image vmapped reference form."""
+    import jax
+
+    from ganecdotes_tpu.selfsup.heads import (
+        init_one_shot_segmentor,
+        one_shot_segmentor_apply,
+    )
+    from ganecdotes_tpu.selfsup.simclr import (
+        init_simclr_params,
+        simclr_predict_from_features,
+        simclr_predict_segment,
+    )
+
+    hlen, ncls = 96, 16
+    ssl = init_simclr_params(jax.random.PRNGKey(0), hlen, ncls)
+    seg = init_one_shot_segmentor(jax.random.PRNGKey(1), ncls, 5, "XS")
+    k = jax.random.PRNGKey(2)
+    feats = [
+        jax.random.normal(jax.random.fold_in(k, i), (3, r, r, c))
+        for i, (r, c) in enumerate([(4, 32), (8, 32), (8, 32)])
+    ]
+
+    logits = simclr_predict_segment(ssl, feats, seg, "XS", hlen)
+
+    def one(fs):
+        return simclr_predict_from_features(ssl, [f[None] for f in fs], hlen)[0]
+
+    z = jax.vmap(one)(feats)
+    want = one_shot_segmentor_apply(seg, z, "XS")
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(want), atol=2e-4
+    )
+
+
+def test_fold_linear_into_head_exact():
+    import jax
+    import jax.numpy as jnp
+
+    from ganecdotes_tpu.selfsup.heads import (
+        init_one_shot_segmentor,
+        one_shot_segmentor_apply,
+    )
+    from ganecdotes_tpu.selfsup.simclr import fold_linear_into_head
+
+    for size in ("XS", "Lin"):
+        seg = init_one_shot_segmentor(jax.random.PRNGKey(3), 24, 6, size)
+        L = jax.random.normal(jax.random.PRNGKey(4), (24, 24)) * 0.3
+        x = jax.random.normal(jax.random.PRNGKey(5), (2, 9, 9, 24))
+        want = one_shot_segmentor_apply(seg, x @ L, size)
+        got = one_shot_segmentor_apply(
+            fold_linear_into_head(seg, L), x, size
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4
+        )
