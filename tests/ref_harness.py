@@ -225,6 +225,19 @@ def setup_reference_pipeline():
     torch.nn.Module.cuda = lambda self, *a, **k: self
     torch.Tensor.cuda = lambda self, *a, **k: self
 
+    # the reference predates torch 2.6's weights_only=True default and
+    # pickles WHOLE modules (prototypes.pt/projection.pt); restore its
+    # original load semantics for unqualified torch.load calls
+    if not getattr(torch.load, "_ref_harness_wrapped", False):
+        _orig_load = torch.load
+
+        def _load(*a, **k):
+            k.setdefault("weights_only", False)
+            return _orig_load(*a, **k)
+
+        _load._ref_harness_wrapped = True
+        torch.load = _load
+
     from src.one_shot_pipeline import OneShotPipeline as RefPipeline
 
     return torch, RefPipeline

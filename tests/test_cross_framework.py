@@ -316,3 +316,126 @@ seg_args = dict(size='S', in_ch=sum(clusters_per_layer))
     our_mean = float(our_tab.mean(axis=0).mean())
     print(f"gt mean-mask-IoU: ref {ref_mean:.4f} vs ours {our_mean:.4f}")
     assert abs(ref_mean - our_mean) < 0.05
+
+
+def test_cross_framework_swav_miou_parity(tmp_path):
+    """Third method: SwAV inference with IMPORTED reference modules
+    (prototypes.pt / projection.pt saved exactly as swav_clustering.py
+    :503-505 does). Codes are continuous projections, so same-init
+    independent fine-tunes converge to matching masks like repurposegan."""
+    import shutil
+
+    torch, RefPipeline = _setup()
+    from ref_harness import CLASSES, build_tiny_artifacts
+
+    art = build_tiny_artifacts(torch, str(tmp_path / "artifacts"))
+    pinned_ml = np.load(art["mean_latent"])
+
+    # reference-format SSL modules: whole torch modules, torch.save'd
+    hlen, ncls, nproto = 1024, 16, 32
+    torch.manual_seed(11)
+    projection = torch.nn.Sequential(
+        torch.nn.Linear(hlen, ncls, bias=False)
+    )
+    prototype = torch.nn.Linear(ncls, nproto)
+
+    seg_cfg = tmp_path / "swav_seg_config.py"
+    seg_cfg.write_text(f"""
+n_layers = 7
+n_hfc_layers = 3
+train_hfc = False
+layer_hf_dim = [512, 1024, 1024, 1024]
+hlen = {hlen}
+nclasses = {ncls}
+hfc_prep_args = dict(
+    device='cpu',  # the reference SwAVClustering defaults to 'cuda'
+    perturb_args=dict(truncation=0.7, n_layers=n_hfc_layers, n_samples=1,
+                      layer_no=None, perturb_std=[1.0]*n_hfc_layers),
+    swav_args=dict(num_epochs=2, num_samples=1, num_patches=1,
+                   sampling_method='random', patch_size=64,
+                   hf_interp='nearest', warmup_epochs=1, start_warmup=0.01,
+                   use_scheduler=False, base_lr=0.01, final_lr=0.0001,
+                   trust_coeff=0.01, freeze_prototype_niters=1,
+                   train_args=dict(lr=0.01, momentum=0.9),
+                   projn_nw='linear', temperature=0.1,
+                   nprototypes={nproto}, nclasses={ncls}, hlen={hlen},
+                   add_local_loss=False, plot_test_images=False,
+                   epoch_print_freq=10, max_masks=4),
+    sinkhorn_args=dict(source_pdf='uniform', niters=2, eps=0.05),
+    train=train_hfc,
+    layer_hf_dim=layer_hf_dim,
+)
+seg_args = dict(size='XS', in_ch=nclasses)
+""")
+
+    # ---- reference run ----------------------------------------------------
+    ref_out = str(tmp_path / "ref_out")
+    os.makedirs(ref_out, exist_ok=True)
+    torch.save(prototype, os.path.join(ref_out, "prototypes.pt"))
+    torch.save(projection, os.path.join(ref_out, "projection.pt"))
+
+    ref_pipe = RefPipeline(
+        out_dir=ref_out, model="ffhq-256", segmentor="hfc_with_swav",
+        custom={
+            "model": art["model_cfg"],
+            "seg": str(seg_cfg),
+            "trainer": art["trainer_cfg"],
+        },
+        device="cpu", num_test_samples=3,
+    )
+    ref_pipe.mean_latent = torch.from_numpy(pinned_ml)
+    ref_pipe.model.mean_latent = lambda n: torch.from_numpy(pinned_ml)
+
+    captured = {}
+    orig_cls = ref_pipe.segmentor
+
+    def capturing(*a, **k):
+        import copy
+
+        m = orig_cls(*a, **k)
+        captured.setdefault("sd", copy.deepcopy(m.state_dict()))
+        return m
+
+    ref_pipe.segmentor = capturing
+    torch.manual_seed(7)
+    ref_pipe.run_pipeline()
+
+    ref_pred = torch.load(
+        os.path.join(ref_out, "tests", "label_predictions.pt"),
+        map_location="cpu", weights_only=False,
+    ).numpy()
+
+    # ---- TPU pipeline -----------------------------------------------------
+    import jax.numpy as jnp
+
+    from ganecdotes_tpu.pipeline.one_shot_pipeline import OneShotPipeline
+
+    our_out = str(tmp_path / "tpu_out")
+    os.makedirs(our_out, exist_ok=True)
+    for f in ("prototypes.pt", "projection.pt"):
+        shutil.copy(os.path.join(ref_out, f), os.path.join(our_out, f))
+
+    pipe = OneShotPipeline(
+        out_dir=our_out, model="ffhq-256", segmentor="hfc_with_swav",
+        num_test_samples=3,
+        custom={
+            "model": art["model_cfg"],
+            "seg": str(seg_cfg),
+            "trainer": art["trainer_cfg"],
+        },
+    )
+    pipe.mean_latent = jnp.asarray(pinned_ml)
+    # the SSL preprocessor (constructed lazily in run_trainer) estimates its
+    # OWN mean latent from the model; pin it to the shared artifact exactly
+    # as the reference side's model.mean_latent patch does
+    pipe.model.mean_latent = lambda n, key=None: jnp.asarray(pinned_ml)
+    pipe.segmentor_init_params = _head_sd_to_pytree(captured["sd"])
+    pipe.run_pipeline()
+    assert pipe.preprocessor is not None
+
+    our_pred = np.load(os.path.join(our_out, "tests", "label_predictions.npy"))
+
+    assert ref_pred.shape == our_pred.shape
+    miou = _interframework_miou(ref_pred, our_pred, len(CLASSES))
+    print(f"\ninter-framework mask IoU (hfc_with_swav): {miou:.4f}")
+    assert miou >= 0.95, f"inter-framework mask IoU {miou:.4f} < 0.95"
