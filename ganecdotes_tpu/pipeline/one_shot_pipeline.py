@@ -468,9 +468,12 @@ class OneShotPipeline:
             self._seg_is_mlp = False
         # cross-framework hook: start the fine-tune from EXPLICIT weights
         # (the parity harness copies the reference head's torch init here so
-        # both frameworks train the identical function from the same point)
+        # both frameworks train the identical function from the same point;
+        # segmentor_init_state carries the datasetgan MLP's BN buffers)
         if getattr(self, "segmentor_init_params", None) is not None:
             self.segmentor_params = self.segmentor_init_params
+        if getattr(self, "segmentor_init_state", None) is not None:
+            self.segmentor_state = self.segmentor_init_state
 
         self._train_segmentor()
 

@@ -439,3 +439,146 @@ seg_args = dict(size='XS', in_ch=nclasses)
     miou = _interframework_miou(ref_pred, our_pred, len(CLASSES))
     print(f"\ninter-framework mask IoU (hfc_with_swav): {miou:.4f}")
     assert miou >= 0.95, f"inter-framework mask IoU {miou:.4f} < 0.95"
+
+
+def _mlp_sd_to_pytree(sd):
+    """torch PixelClassifier state_dict -> (params, state) for our
+    pixel_classifier_apply. Linear layers at layers.{0,3,6}; BN1d buffers
+    at layers.{2,5}."""
+    import jax.numpy as jnp
+
+    lin_idx = sorted(
+        int(k.split(".")[1]) for k in sd
+        if k.endswith(".weight") and f"layers.{k.split('.')[1]}.running_mean"
+        not in sd
+    )
+    bn_idx = sorted(
+        int(k.split(".")[1]) for k in sd if k.endswith(".running_mean")
+    )
+    params = [
+        {
+            "weight": jnp.asarray(
+                np.asarray(sd[f"layers.{i}.weight"].detach().cpu()).T
+            ),
+            "bias": jnp.asarray(
+                np.asarray(sd[f"layers.{i}.bias"].detach().cpu())
+            ),
+        }
+        for i in lin_idx
+    ]
+    state = [
+        {
+            "gamma": jnp.asarray(np.asarray(sd[f"layers.{i}.weight"].detach().cpu())),
+            "beta": jnp.asarray(np.asarray(sd[f"layers.{i}.bias"].detach().cpu())),
+            "mean": jnp.asarray(np.asarray(sd[f"layers.{i}.running_mean"].detach().cpu())),
+            "var": jnp.asarray(np.asarray(sd[f"layers.{i}.running_var"].detach().cpu())),
+        }
+        for i in bn_idx
+    ]
+    return params, state
+
+
+def test_cross_framework_datasetgan_miou_parity(tmp_path):
+    """Fourth method: the DatasetGAN per-pixel MLP (Linear/ReLU/BN1d stack).
+
+    Per-pixel MLP decisions flip independently under optimizer fp drift
+    (measured: ~0.80 inter-IoU after 60 independent same-init Adam+BN
+    runs), so like hfc_kmeans the claim splits: (1) inference parity with
+    the reference's TRAINED weights+BN buffers copied across (deterministic
+    path, >= 0.95); (2) training quality via GT mean-mask-IoU closeness."""
+    torch, RefPipeline = _setup()
+    from ref_harness import CLASSES, build_tiny_artifacts
+
+    art = build_tiny_artifacts(torch, str(tmp_path / "artifacts"))
+    pinned_ml = np.load(art["mean_latent"])
+
+    seg_cfg = tmp_path / "dg_seg_config.py"
+    seg_cfg.write_text("seg_args = dict(size='S')\nn_layers = 7\n")
+
+    ref_out = str(tmp_path / "ref_out")
+    ref_pipe = RefPipeline(
+        out_dir=ref_out, model="ffhq-256", segmentor="datasetgan",
+        custom={
+            "model": art["model_cfg"],
+            "seg": str(seg_cfg),
+            "trainer": art["trainer_cfg"],
+        },
+        device="cpu", num_test_samples=3,
+    )
+    ref_pipe.mean_latent = torch.from_numpy(pinned_ml)
+
+    captured = {}
+    orig_cls = ref_pipe.segmentor
+
+    def capturing(*a, **k):
+        import copy
+
+        m = orig_cls(*a, **k)
+        captured.setdefault("sd", copy.deepcopy(m.state_dict()))
+        return m
+
+    ref_pipe.segmentor = capturing
+    torch.manual_seed(7)
+    ref_pipe.run_pipeline()
+    trained_sd = {
+        k: v.detach().clone()
+        for k, v in ref_pipe.segmentor.state_dict().items()
+    }
+
+    ref_pred = torch.load(
+        os.path.join(ref_out, "tests", "label_predictions.pt"),
+        map_location="cpu", weights_only=False,
+    ).numpy()
+    import pandas as pd
+
+    ref_tab = pd.read_csv(
+        os.path.join(ref_out, "tests", "mask_iou_results.csv"), index_col=0
+    )
+
+    import jax.numpy as jnp
+
+    from ganecdotes_tpu.pipeline.one_shot_pipeline import OneShotPipeline
+
+    frozen_trainer = tmp_path / "dg_trainer_frozen.py"
+    frozen_trainer.write_text(
+        open(art["trainer_cfg"]).read().replace("lr = 0.001", "lr = 0.0")
+    )
+
+    def run_ours(tag, trainer_cfg, sd):
+        our_out = str(tmp_path / f"tpu_out_{tag}")
+        pipe = OneShotPipeline(
+            out_dir=our_out, model="ffhq-256", segmentor="datasetgan",
+            num_test_samples=3,
+            custom={
+                "model": art["model_cfg"],
+                "seg": str(seg_cfg),
+                "trainer": trainer_cfg,
+            },
+        )
+        pipe.mean_latent = jnp.asarray(pinned_ml)
+        params, state = _mlp_sd_to_pytree(sd)
+        pipe.segmentor_init_params = params
+        pipe.segmentor_init_state = state
+        pipe.run_pipeline()
+        pred = np.load(
+            os.path.join(our_out, "tests", "label_predictions.npy")
+        )
+        tab = pd.read_csv(
+            os.path.join(our_out, "tests", "mask_iou_results.csv"),
+            index_col=0,
+        )
+        return pred, tab
+
+    # 1) inference parity: trained weights + BN buffers, lr=0
+    our_pred, _ = run_ours("frozen", str(frozen_trainer), trained_sd)
+    assert ref_pred.shape == our_pred.shape
+    miou = _interframework_miou(ref_pred, our_pred, len(CLASSES))
+    print(f"\ninter-framework mask IoU (datasetgan, shared head): {miou:.4f}")
+    assert miou >= 0.95, f"inter-framework mask IoU {miou:.4f} < 0.95"
+
+    # 2) training-quality parity: same init, independent training
+    _, our_tab = run_ours("trained", art["trainer_cfg"], captured["sd"])
+    ref_mean = float(ref_tab.mean(axis=0).mean())
+    our_mean = float(our_tab.mean(axis=0).mean())
+    print(f"gt mean-mask-IoU: ref {ref_mean:.4f} vs ours {our_mean:.4f}")
+    assert abs(ref_mean - our_mean) < 0.05
