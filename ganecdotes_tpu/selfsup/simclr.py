@@ -46,6 +46,37 @@ def init_simclr_params(key, hlen, nclasses):
     }
 
 
+def import_torch_simclr_projection(path):
+    """Reference ``projection.pt`` -> params pytree.
+
+    The reference persists the WHOLE projection module via
+    ``torch.save(self.projection)`` (simclr_clustering.py:62,280):
+    Sequential(Linear(hlen, ncls, bias=False), BatchNorm1d, LeakyReLU,
+    Linear(ncls, ncls, bias=False)). Accepts the pickled module or a bare
+    state_dict; torch (out, in) Linear weights transpose to (in, out)."""
+    import numpy as _np
+
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+    sd = {k: _np.asarray(v.detach().cpu(), dtype=_np.float32)
+          for k, v in sd.items()}
+    prefix = "0." if "0.weight" in sd else ""
+    bn = "1." if prefix else "bn."
+    lin2 = "3." if prefix else "lin2."
+    return {
+        "lin1": {"weight": jnp.asarray(sd[f"{prefix}weight"].T)},
+        "bn": {
+            "gamma": jnp.asarray(sd[f"{bn}weight"]),
+            "beta": jnp.asarray(sd[f"{bn}bias"]),
+            "mean": jnp.asarray(sd[f"{bn}running_mean"]),
+            "var": jnp.asarray(sd[f"{bn}running_var"]),
+        },
+        "lin2": {"weight": jnp.asarray(sd[f"{lin2}weight"].T)},
+    }
+
+
 def simclr_projection(params, z, train=True, eps=1e-5):
     """Post-first-linear tail. z: (N, nclasses) (first matmul already applied).
 
@@ -251,6 +282,15 @@ class SimCLRClustering:
         self.params = None
         if not self.train and self.params_file and os.path.exists(self.params_file):
             self.params = load_pytree(self.params_file)
+        elif not self.train and out_dir is not None and os.path.exists(
+            os.path.join(out_dir, "projection.pt")
+        ):
+            # reference artifact layout (simclr_clustering.py:62-67)
+            self.params = import_torch_simclr_projection(
+                os.path.join(out_dir, "projection.pt")
+            )
+            if self.logger:
+                self.logger.info("Imported reference projection.pt")
         elif not self.train and self.logger:
             self.logger.info("Projection File not found - pretraining ...")
 

@@ -582,3 +582,113 @@ def test_cross_framework_datasetgan_miou_parity(tmp_path):
     our_mean = float(our_tab.mean(axis=0).mean())
     print(f"gt mean-mask-IoU: ref {ref_mean:.4f} vs ours {our_mean:.4f}")
     assert abs(ref_mean - our_mean) < 0.05
+
+
+def test_cross_framework_simclr_miou_parity(tmp_path):
+    """Fifth method: SimCLR inference with the IMPORTED reference
+    projection module (Linear→BN1d→LeakyReLU→Linear saved whole, exactly as
+    simclr_clustering.py:280 does) — completing cross-framework coverage of
+    every pipeline method."""
+    import shutil
+
+    torch, RefPipeline = _setup()
+    from ref_harness import CLASSES, build_tiny_artifacts
+
+    art = build_tiny_artifacts(torch, str(tmp_path / "artifacts"))
+    pinned_ml = np.load(art["mean_latent"])
+
+    hlen, ncls = 1024, 16
+    torch.manual_seed(13)
+    projection = torch.nn.Sequential(
+        torch.nn.Linear(hlen, ncls, bias=False),
+        torch.nn.BatchNorm1d(ncls),
+        torch.nn.LeakyReLU(inplace=True),
+        torch.nn.Linear(ncls, ncls, bias=False),
+    )
+
+    seg_cfg = tmp_path / "simclr_seg_config.py"
+    seg_cfg.write_text(f"""
+n_layers = 7
+n_hfc_layers = 3
+train_hfc = False
+layer_hf_dim = [512, 1024, 1024, 1024]
+hlen = {hlen}
+nclasses = {ncls}
+hfc_prep_args = dict(
+    device='cpu',
+    perturb_args=dict(truncation=0.7, n_layers=n_hfc_layers, n_samples=1,
+                      layer_no=None, perturb_std=[1.0]*n_hfc_layers),
+    simclr_args=dict(num_iters=2, batch_size=8, patch_size=32,
+                     hf_interp='nearest', trust_coeff=0.01,
+                     train_args=dict(lr=0.01, momentum=0.9),
+                     temperature=1.0, nclasses={ncls}, hlen={hlen},
+                     epoch_print_freq=10, max_masks=4),
+    train=train_hfc,
+    layer_hf_dim=layer_hf_dim,
+)
+seg_args = dict(size='XS', in_ch=nclasses)
+""")
+
+    ref_out = str(tmp_path / "ref_out")
+    os.makedirs(ref_out, exist_ok=True)
+    torch.save(projection, os.path.join(ref_out, "projection.pt"))
+
+    ref_pipe = RefPipeline(
+        out_dir=ref_out, model="ffhq-256", segmentor="hfc_with_simclr",
+        custom={
+            "model": art["model_cfg"],
+            "seg": str(seg_cfg),
+            "trainer": art["trainer_cfg"],
+        },
+        device="cpu", num_test_samples=3,
+    )
+    ref_pipe.mean_latent = torch.from_numpy(pinned_ml)
+    ref_pipe.model.mean_latent = lambda n: torch.from_numpy(pinned_ml)
+
+    captured = {}
+    orig_cls = ref_pipe.segmentor
+
+    def capturing(*a, **k):
+        import copy
+
+        m = orig_cls(*a, **k)
+        captured.setdefault("sd", copy.deepcopy(m.state_dict()))
+        return m
+
+    ref_pipe.segmentor = capturing
+    torch.manual_seed(7)
+    ref_pipe.run_pipeline()
+
+    ref_pred = torch.load(
+        os.path.join(ref_out, "tests", "label_predictions.pt"),
+        map_location="cpu", weights_only=False,
+    ).numpy()
+
+    import jax.numpy as jnp
+
+    from ganecdotes_tpu.pipeline.one_shot_pipeline import OneShotPipeline
+
+    our_out = str(tmp_path / "tpu_out")
+    os.makedirs(our_out, exist_ok=True)
+    shutil.copy(os.path.join(ref_out, "projection.pt"),
+                os.path.join(our_out, "projection.pt"))
+
+    pipe = OneShotPipeline(
+        out_dir=our_out, model="ffhq-256", segmentor="hfc_with_simclr",
+        num_test_samples=3,
+        custom={
+            "model": art["model_cfg"],
+            "seg": str(seg_cfg),
+            "trainer": art["trainer_cfg"],
+        },
+    )
+    pipe.mean_latent = jnp.asarray(pinned_ml)
+    pipe.model.mean_latent = lambda n, key=None: jnp.asarray(pinned_ml)
+    pipe.segmentor_init_params = _head_sd_to_pytree(captured["sd"])
+    pipe.run_pipeline()
+
+    our_pred = np.load(os.path.join(our_out, "tests", "label_predictions.npy"))
+    assert ref_pred.shape == our_pred.shape
+    miou = _interframework_miou(ref_pred, our_pred, len(CLASSES))
+    print(f"\ninter-framework mask IoU (hfc_with_simclr): {miou:.4f}")
+    assert miou >= 0.95, f"inter-framework mask IoU {miou:.4f} < 0.95"
