@@ -448,7 +448,9 @@ def test_bagganhq_data_parallel_mesh(tmp_path):
     replicated params, batch-sharded images/latents, XLA-inserted grad psum
     (the TPU-native form of the reference's DDP branch, gan_util.py:154-160).
     Parity check: one D+G iteration matches the single-device trainer
-    bit-for-bit given identical seeds and inputs."""
+    bit-for-bit given identical seeds and inputs — WITH ADA on, so the
+    scatter-free shear warp (per-image transposes, bit-rolls, one-hot
+    matmuls) is proven under batch sharding too."""
     import types
 
     from ganecdotes_tpu.gan.train import BagGANHQ
@@ -460,7 +462,7 @@ def test_bagganhq_data_parallel_mesh(tmp_path):
             batch_size=8, gan_mode="vanilla", use_ppl=False, r1_lambda=10,
             ppl_lambda=2, path_batch_shrink=1, ppl_decay=0.01,
             d_reg_every=2, g_reg_every=2, mixing_prob=0.0, chl_multiplier=1,
-            g_reg_ratio=4 / 5, d_reg_ratio=16 / 17, augment=False,
+            g_reg_ratio=4 / 5, d_reg_ratio=16 / 17, augment=True,
             augment_p=0, ada_target=0.6, ada_length=100, lr=0.002,
             beta1=0.0, lr_policy="linear",
             lr_params=dict(epoch_count=1, n_epochs=2, n_epochs_decay=2),
