@@ -215,6 +215,13 @@ class BagGANHQ(GANBaseModel):
 
         self.key = jax.random.PRNGKey(seed)
         self._host_rng = np.random.RandomState(seed)
+        # per-iteration step keys come from a host stream as raw (2,)
+        # uint32 key data (zero eager device ops — every eager
+        # jax.random call is a synchronous relay round-trip, ~0.1 s)
+        self._host_key_rng = np.random.RandomState(
+            np.random.SeedSequence([seed, 0x9E3779B9]).generate_state(4)
+        )
+        self._draw_latents_cache = {}
         self.key, kg, kd = jax.random.split(self.key, 3)
 
         size = config.image_size
@@ -496,6 +503,19 @@ class BagGANHQ(GANBaseModel):
 
     # ------------------------------------------------------------------
 
+    def _next_raw_key(self):
+        """Fresh (2,) uint32 legacy-PRNG key data from the host stream."""
+        return self._host_key_rng.randint(0, 2**32, size=(2,), dtype=np.uint32)
+
+    def _draw_latents_jit(self, raw_key, n):
+        """(2, n, latent) normal draw as ONE jitted (async) dispatch."""
+        fn = self._draw_latents_cache.get(n)
+        if fn is None:
+            lat = self.latent_size
+            fn = jax.jit(lambda k: jax.random.normal(k, (2, n, lat)))
+            self._draw_latents_cache[n] = fn
+        return fn(jnp.asarray(raw_key))
+
     def set_input(self, data_sample=None, iter_no=None, epoch_no=None,
                   latent=None, disentangled=False, gen_args=None):
         """Stage a training batch (ref bagganhq.py:155-205)."""
@@ -515,21 +535,24 @@ class BagGANHQ(GANBaseModel):
             )
 
         if latent is None:
-            self.key, kz = jax.random.split(self.key)
             mix = getattr(cfg, "mixing_prob", 0.0)
             # mixing coin + inject index drawn on the HOST: a per-iteration
-            # device scalar readback stalls the step pipeline
+            # device scalar readback stalls the step pipeline. The latent
+            # draw itself runs under ONE jitted dispatch (async through the
+            # relay): every EAGER jax.random op is a synchronous relay
+            # round-trip (~0.1 s each, measured), and six of them per
+            # iteration dominated the real CLI loop (1.1 s/iter vs 0.35 s
+            # of device work).
+            kz = self._next_raw_key()
+            z = self._draw_latents_jit(kz, self.bsize)
             if mix > 0 and self._host_rng.uniform() < mix:
-                z = jax.random.normal(kz, (2, self.bsize, self.latent_size))
                 self.input_latent = [z[0], z[1]]
                 # ref random.randint(1, n_latent-1) is INCLUSIVE of both ends
                 self.inject_index = int(
                     self._host_rng.randint(1, self.gen_meta["n_latent"])
                 )
             else:
-                self.input_latent = [
-                    jax.random.normal(kz, (self.bsize, self.latent_size))
-                ]
+                self.input_latent = [z[0]]
                 self.inject_index = None
         else:
             self.input_latent = latent
@@ -538,7 +561,7 @@ class BagGANHQ(GANBaseModel):
 
     def forward(self):
         """(image, latent, features) forward pass (ref :207-223)."""
-        self.key, kn = jax.random.split(self.key)
+        kn = self._next_raw_key()
         img, lat, feats = generator_forward(
             self.generator_params, self.gen_meta, self.input_latent,
             input_is_latent=False, randomize_noise=True, noise_key=kn,
@@ -552,7 +575,9 @@ class BagGANHQ(GANBaseModel):
         """One full GAN iteration: D, lazy R1, ADA tune, G, lazy PPL
         (ref bagganhq.py:432-483)."""
         cfg = self.config
-        self.key, kd, kr, kg, kp = jax.random.split(self.key, 5)
+        # per-step keys as raw host uint32 key data: zero eager device ops
+        # (each eager split is a synchronous relay round-trip)
+        kd, kr, kg, kp = (self._next_raw_key() for _ in range(4))
         ada_p = self.ada_state["p"]
 
         (self.disc_params, self.opt_d_state, self.loss_d,
@@ -578,8 +603,7 @@ class BagGANHQ(GANBaseModel):
         if getattr(cfg, "use_ppl", False) and self.iter_no % cfg.g_reg_every == 0:
             shrink = getattr(cfg, "path_batch_shrink", 2)
             pb = max(1, self.bsize // shrink)
-            self.key, kz = jax.random.split(self.key)
-            z = [jax.random.normal(kz, (pb, self.latent_size))]
+            z = [self._draw_latents_jit(self._next_raw_key(), pb)[0]]
             (self.generator_params, self.opt_g_state, self.loss_g_ppl,
              self.mean_path_length) = self._ppl_step(
                 self.generator_params, self.opt_g_state, z, kp,
