@@ -358,6 +358,11 @@ def finetune_northstar():
 
 
 def main():
+    from ganecdotes_tpu.runtime.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
     import os
 
     trace_dir = os.environ.get("BENCH_TRACE_DIR")

@@ -10,6 +10,11 @@ import matplotlib
 # headless CLI: metric/collage plots must never grab a display
 matplotlib.use("Agg")
 
+from ganecdotes_tpu.runtime.compile_cache import (
+    enable_persistent_compilation_cache,
+)
+
+enable_persistent_compilation_cache()
 from ganecdotes_tpu.configs.mapper import resolve_method_alias
 from ganecdotes_tpu.pipeline.one_shot_pipeline import OneShotPipeline
 

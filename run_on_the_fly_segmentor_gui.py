@@ -6,6 +6,12 @@ CLI-compatible with the reference's run_on_the_fly_segmentor_gui.py:1-79
 
 import argparse
 
+from ganecdotes_tpu.runtime.compile_cache import (
+    enable_persistent_compilation_cache,
+)
+
+enable_persistent_compilation_cache()
+
 from ganecdotes_tpu.gui.interactive_labeller import InteractiveLabellerGUI
 from ganecdotes_tpu.pipeline.one_shot_pipeline import OneShotPipeline
 

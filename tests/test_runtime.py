@@ -82,3 +82,26 @@ def test_native_loader_epochs_advance(tmp_path):
     assert loader.epoch >= 2
     assert loader.batches_produced >= 6
     loader.close()
+
+
+def test_persistent_compile_cache_helper(tmp_path, monkeypatch):
+    """enable_persistent_compilation_cache sets the jax config (and is
+    idempotent / env-overridable / never raises)."""
+    import jax
+
+    from ganecdotes_tpu.runtime.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    monkeypatch.delenv("GANECDOTES_COMPILE_CACHE", raising=False)
+    d = str(tmp_path / "xla_cache")
+    got = enable_persistent_compilation_cache(d)
+    assert got == d and os.path.isdir(d)
+    assert jax.config.jax_compilation_cache_dir == d
+    assert enable_persistent_compilation_cache(d) == d  # idempotent
+
+    monkeypatch.setenv("GANECDOTES_COMPILE_CACHE", "off")
+    assert enable_persistent_compilation_cache(d) is None
+
+    monkeypatch.setenv("GANECDOTES_COMPILE_CACHE", str(tmp_path / "env_dir"))
+    assert enable_persistent_compilation_cache() == str(tmp_path / "env_dir")

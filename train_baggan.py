@@ -33,6 +33,12 @@ def main():
     import jax
     import numpy as np
 
+    from ganecdotes_tpu.runtime.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+
     from ganecdotes_tpu.gan.train import BagGANHQ
     from ganecdotes_tpu.utils.util import load_config
 
