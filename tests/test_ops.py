@@ -390,3 +390,30 @@ def test_random_apply_affine_shear_matches_exact_impl():
     d = np.abs(np.asarray(y_sh) - np.asarray(y_ex))
     assert d.mean() < 0.01
     assert d.max() < 0.12  # corner pixels of strong rotations
+
+
+def test_affine_warp_shear_close_over_ada_transform_distribution():
+    """Fuzz vs the exact warp across matrices drawn from ADA's OWN
+    composed-transform sampler at full augmentation strength (p=1): every
+    flip/90°/translate/iso+aniso-scale/rotation composition stays within
+    tolerance on a smooth image (interior pixels)."""
+    import jax
+
+    from ganecdotes_tpu.gan.ada import sample_affine
+    from ganecdotes_tpu.ops.affine_warp import (
+        affine_warp_exact,
+        affine_warp_shear,
+        norm_to_pixel_matrix,
+    )
+
+    h = w = 33
+    x = _smooth_image(8, h, w, 2)
+    worst = 0.0
+    for trial in range(4):
+        key = jax.random.PRNGKey(100 + trial)
+        G = jnp.linalg.inv(sample_affine(key, 1.0, 8, h, w))
+        M = norm_to_pixel_matrix(G, (h, w), (h, w))
+        ye = np.asarray(affine_warp_exact(x, M))[:, 10:-10, 10:-10]
+        ys = np.asarray(affine_warp_shear(x, M))[:, 10:-10, 10:-10]
+        worst = max(worst, float(np.abs(ye - ys).max()))
+    assert worst < 0.15, f"worst interior deviation {worst:.4f}"
