@@ -5,8 +5,15 @@ training run pays ~12 minutes of compiles before its first step; verified
 round 3). JAX's persistent compilation cache works through the relay —
 measured: an identical program in a SECOND process goes 1.14 s → 0.04 s —
 so every CLI (bench / evaluate / pretrain / train_baggan / GUI) enables it
-at startup. Repeat invocations with unchanged shapes skip compilation
-entirely.
+at startup.
+
+Honesty note (measured): the win is real for stable programs, but repeat
+`evaluate.py` runs did NOT get faster end-to-end in this environment
+(225 s cold vs 287 s "warm" — the second run still wrote new cache entries,
+i.e. some pipeline programs fingerprint differently run-to-run, and relay
+latency variance dominates). Treat the cache as a free floor, not a
+guaranteed speedup; investigating the fingerprint instability is future
+work.
 
 Opt out with GANECDOTES_COMPILE_CACHE=off; point elsewhere with
 GANECDOTES_COMPILE_CACHE=/path.
