@@ -349,13 +349,28 @@ class BagGANHQ(GANBaseModel):
                                        warp_impl=warp_impl)
                 d_in_real, _ = augment(d_in_real, ada_p, k2,
                                        warp_impl=warp_impl)
-            pred_fake = discriminator_forward(d_params, d_meta, d_in_fake)
-            pred_real = discriminator_forward(d_params, d_meta, d_in_real)
+            fwd = discriminator_forward
+            if gan_mode == "wgangp":
+                # rematerialize every D forward under wgangp: the
+                # gradient penalty's grad-of-grad makes XLA keep ALL
+                # D residuals live — measured (AOT memory_analysis,
+                # 256² batch 20 production config) d_step peaks at
+                # 15.57 GiB on a 16 GiB chip without remat, 12.21 GiB
+                # with; the un-remat'd form intermittently OOMs when any
+                # other program's buffers are resident
+                ckpt_fwd = jax.checkpoint(
+                    lambda dp, x: discriminator_forward(dp, d_meta, x)
+                )
+                fwd = lambda dp, _meta, x: ckpt_fwd(dp, x)
+            pred_fake = fwd(d_params, d_meta, d_in_fake)
+            pred_real = fwd(d_params, d_meta, d_in_real)
             loss_d_out = adv(pred_fake, False)
             loss_d_ref = adv(pred_real, True)
             if gan_mode == "wgangp":
                 gp, _ = gradient_penalty(
-                    lambda x: discriminator_forward(d_params, d_meta, x),
+                    jax.checkpoint(
+                        lambda x: discriminator_forward(d_params, d_meta, x)
+                    ),
                     d_in_real, d_in_fake, k3,
                 )
                 loss = (loss_d_out + loss_d_ref) * 0.25 + gp * 0.5
@@ -467,6 +482,71 @@ class BagGANHQ(GANBaseModel):
                 new_mean,
             )
 
+        # --- fused multi-iteration (D,G) chunk ------------------------
+        # Through the TPU relay each jitted dispatch costs ~80 ms of
+        # latency, and one GAN iteration is 2-4 dispatches — measured
+        # ~0.5 s/iter of pure dispatch overhead on top of 0.35-0.45 s of
+        # device work (docs/PERFORMANCE.md). The chunk step runs a RUN of
+        # consecutive plain iterations (D step + G step, no lazy reg due)
+        # inside one lax.scan under one jit — one dispatch for the whole
+        # run. Lazy-reg iterations (R1 every d_reg_every, PPL every
+        # g_reg_every — sparse by design) go through the ordinary
+        # single-step path. Fusing R1/PPL into the scan as lax.cond
+        # branches was tried and rejected with measurements: the
+        # double-grad branches inside cond inside scan blow up XLA
+        # compile (~6x per construct) AND the union program OOMs 16 GB
+        # HBM at the production 256^2/batch-20 shape (XLA starts
+        # remat-compressing 320 MB temps); the hybrid keeps per-dispatch
+        # memory at single-step scale.
+        #
+        # Per-iteration host randomness (latent key, mixing coin, inject
+        # index, step keys) is staged into the scan xs by
+        # optimize_parameters_chunk in EXACTLY the order the single-step
+        # path consumes the host streams, so chunked and single-step
+        # training follow identical trajectories (tests/test_gan.py
+        # chunk-parity test).
+        mix_prob = getattr(cfg, "mixing_prob", 0.0)
+        lat_dim = cfg.latent_dim
+
+        def dg_body(carry, x):
+            g_params, opt_g, d_params, opt_d, ada_state, losses = carry
+            ada_p_pre = ada_state["p"]
+            bsize = x["real"].shape[0]
+            z = jax.random.normal(x["kz"], (2, bsize, lat_dim))
+            # mixing handled via the traced inject index: host stages
+            # n_latent for unmixed draws, so where(rows < n_latent, w0, w1)
+            # reduces exactly to the single-latent repeat
+            z_list = [z[0], z[1]] if mix_prob > 0 else [z[0]]
+
+            d_params, opt_d, loss_d, aux, _fake, ada_state = d_step(
+                d_params, opt_d, g_params, x["real"], z_list, x["kd"],
+                ada_state, x["inject"],
+            )
+            g_params, opt_g, loss_g = g_step(
+                g_params, opt_g, d_params, z_list, x["kg"], ada_p_pre,
+                x["inject"],
+            )
+            losses = {
+                "d": loss_d, "d_out": aux[0], "d_ref": aux[1],
+                "g_gan": loss_g,
+            }
+            # stable carry avals across iterations
+            losses = {k: jnp.asarray(v, jnp.float32)
+                      for k, v in losses.items()}
+            return (g_params, opt_g, d_params, opt_d, ada_state,
+                    losses), None
+
+        def run_dg_chunk(carry, xs):
+            carry, _ = jax.lax.scan(dg_body, carry, xs)
+            return carry
+
+        # unjitted inner programs, exposed for tests/benchmarks that need
+        # to recompose them (e.g. compile-cost isolation)
+        self._steps_raw = {
+            "d": d_step, "r1": r1_step, "g": g_step, "ppl": ppl_step,
+            "dg_body": dg_body, "run_dg_chunk": run_dg_chunk,
+        }
+
         # inject_index is traced (see synth): one compiled variant per
         # latent-list structure, no per-draw recompiles
         if getattr(cfg, "data_parallel", False) and jax.device_count() > 1:
@@ -494,12 +574,24 @@ class BagGANHQ(GANBaseModel):
             self._ppl_step = jax.jit(
                 ppl_step, in_shardings=(repl, repl, bsh, repl, repl)
             )
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            bsh2 = NamedSharding(mesh, _P(None, "data"))
+            xs_sh = {
+                "real": bsh2, "kz": repl, "kd": repl, "kg": repl,
+                "inject": repl,
+            }
+            self._chunk_step = jax.jit(
+                run_dg_chunk, donate_argnums=(0,),
+                in_shardings=(repl, xs_sh),
+            )
         else:
             self.mesh = None
             self._d_step = jax.jit(d_step)
             self._r1_step = jax.jit(r1_step)
             self._g_step = jax.jit(g_step)
             self._ppl_step = jax.jit(ppl_step)
+            self._chunk_step = jax.jit(run_dg_chunk, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
 
@@ -612,10 +704,108 @@ class BagGANHQ(GANBaseModel):
 
         self.iter_no += 1
 
+    def _run_dg_chunk(self, real_run, kz, kd, kg, inject):
+        """Dispatch one fused run of plain (D,G) iterations."""
+        xs = {
+            "real": np.stack(real_run), "kz": np.stack(kz),
+            "kd": np.stack(kd), "kg": np.stack(kg),
+            "inject": np.asarray(inject, np.int32),
+        }
+        # distinct zero buffers: donation rejects the same buffer twice
+        losses = {name: jnp.zeros((), jnp.float32)
+                  for name in ("d", "d_out", "d_ref", "g_gan")}
+        carry = (
+            self.generator_params, self.opt_g_state, self.disc_params,
+            self.opt_d_state, self.ada_state, losses,
+        )
+        (self.generator_params, self.opt_g_state, self.disc_params,
+         self.opt_d_state, self.ada_state, losses) = self._chunk_step(
+            carry, xs
+        )
+        # attribute views for get_current_losses / loss_names (device
+        # scalars; only float()'d when actually printed)
+        self.loss_d = losses["d"]
+        self.loss_d_out = losses["d_out"]
+        self.loss_d_ref = losses["d_ref"]
+        self.loss_g_gan = losses["g_gan"]
+        self.loss_g = losses["g_gan"]
+
+    def optimize_parameters_chunk(self, real_batches):
+        """Run ``len(real_batches)`` full GAN iterations with runs of
+        consecutive PLAIN iterations (no lazy reg due) fused into single
+        ``lax.scan`` dispatches.
+
+        Through the TPU relay every dispatch costs ~80 ms of latency and
+        the single-step path pays 2-4 of them per iteration; fusing the
+        plain runs cuts dispatches ~6x at the production cadence
+        (d_reg_every=16, g_reg_every=4 -> 17 dispatches per 16 iterations
+        instead of ~96). Lazy-reg iterations delegate to set_input +
+        optimize_parameters — literally the single-step code. Host
+        randomness is consumed from the same streams in the same order as
+        the single-step path, so a chunked run follows the exact
+        trajectory a single-stepped run with the same seed would
+        (parity-tested in tests/test_gan.py).
+
+        real_batches: sequence of (B,H,W,C) arrays (or {'ct': array}
+        samples, matching ``set_input``).
+        """
+        cfg = self.config
+        n_latent = self.gen_meta["n_latent"]
+        mix = getattr(cfg, "mixing_prob", 0.0)
+        use_ppl = getattr(cfg, "use_ppl", False)
+
+        run = {"real": [], "kz": [], "kd": [], "kg": [], "inject": []}
+
+        def flush():
+            if run["real"]:
+                self._run_dg_chunk(run["real"], run["kz"], run["kd"],
+                                   run["kg"], run["inject"])
+                self.iter_no += len(run["real"])
+                for v in run.values():
+                    v.clear()
+
+        for b in real_batches:
+            it = self.iter_no + len(run["real"])
+            is_reg = (it % cfg.d_reg_every == 0) or (
+                use_ppl and it % cfg.g_reg_every == 0
+            )
+            if is_reg:
+                flush()
+                self.set_input(data_sample=b, iter_no=self.iter_no)
+                self.optimize_parameters()
+                continue
+            # stage a plain iteration, consuming the host streams in the
+            # EXACT single-step order: latent key, mixing coin (+ inject
+            # draw), then the 4 step keys (kr/kp drawn and discarded —
+            # the single path draws them unconditionally)
+            run["real"].append(
+                np.asarray(b["ct"] if isinstance(b, dict) else b)
+            )
+            run["kz"].append(self._next_raw_key())
+            if mix > 0 and self._host_rng.uniform() < mix:
+                run["inject"].append(int(self._host_rng.randint(1, n_latent)))
+            else:
+                run["inject"].append(n_latent)
+            kd, _kr, kg, _kp = (self._next_raw_key() for _ in range(4))
+            run["kd"].append(kd)
+            run["kg"].append(kg)
+        flush()
+
     def update_learning_rate(self, metric=None):
         mult = super().update_learning_rate(metric)
-        self.opt_g_state.hyperparams["learning_rate"] = self._base_lrs[0] * mult
-        self.opt_d_state.hyperparams["learning_rate"] = self._base_lrs[1] * mult
+        # keep the hyperparam leaf avals IDENTICAL to what
+        # inject_hyperparams stored (strong f32 scalars): assigning a raw
+        # python float changes the jit signature (weak type) at the second
+        # epoch, silently RETRACING + RECOMPILING every step program —
+        # ~12 min of duplicate compiles on TPU, and the stale epoch-1
+        # executables stay cached, which pushed HBM over the edge with the
+        # fused chunk program resident (observed RESOURCE_EXHAUSTED)
+        self.opt_g_state.hyperparams["learning_rate"] = jnp.asarray(
+            self._base_lrs[0] * mult, jnp.float32
+        )
+        self.opt_d_state.hyperparams["learning_rate"] = jnp.asarray(
+            self._base_lrs[1] * mult, jnp.float32
+        )
         return mult
 
     def test(self):

@@ -17,9 +17,38 @@ work.
 
 Opt out with GANECDOTES_COMPILE_CACHE=off; point elsewhere with
 GANECDOTES_COMPILE_CACHE=/path.
+
+The cache is partitioned by a host-machine fingerprint: XLA:CPU stores
+ahead-of-time code generated for the COMPILING machine's exact CPU feature
+set, and the cache key does not include it — a cache dir carried to a
+different host (disk image moved, shared $HOME) loads foreign AOT blobs
+with a "could lead to SIGILL" loader warning (observed in practice when a
+TPU-relay-host cache was read on a smaller CPU).
 """
 
 import os
+
+
+def _machine_tag():
+    """Short fingerprint of the host CPU (ISA + feature flags)."""
+    try:
+        import hashlib
+        import platform
+
+        flags = ""
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith(("flags", "Features")):
+                        flags = line.strip()
+                        break
+        except OSError:
+            pass
+        return hashlib.sha1(
+            (platform.machine() + "|" + flags).encode()
+        ).hexdigest()[:10]
+    except Exception:
+        return "generic"
 
 
 def enable_persistent_compilation_cache(cache_dir=None):
@@ -30,6 +59,7 @@ def enable_persistent_compilation_cache(cache_dir=None):
     cache_dir = env or cache_dir or os.path.join(
         os.path.expanduser("~"), ".cache", "ganecdotes_tpu_xla"
     )
+    cache_dir = os.path.join(cache_dir, _machine_tag())
     try:
         import jax
 

@@ -93,15 +93,26 @@ def test_persistent_compile_cache_helper(tmp_path, monkeypatch):
         enable_persistent_compilation_cache,
     )
 
+    from ganecdotes_tpu.runtime.compile_cache import _machine_tag
+
+    # the cache dir is partitioned by a host fingerprint: XLA:CPU stores
+    # AOT code for the compiling machine's exact feature set, and loading
+    # a foreign host's entries risks SIGILL (observed)
+    tag = _machine_tag()
+    assert tag and "/" not in tag and tag == _machine_tag()  # stable
+
     monkeypatch.delenv("GANECDOTES_COMPILE_CACHE", raising=False)
     d = str(tmp_path / "xla_cache")
+    expect = os.path.join(d, tag)
     got = enable_persistent_compilation_cache(d)
-    assert got == d and os.path.isdir(d)
-    assert jax.config.jax_compilation_cache_dir == d
-    assert enable_persistent_compilation_cache(d) == d  # idempotent
+    assert got == expect and os.path.isdir(expect)
+    assert jax.config.jax_compilation_cache_dir == expect
+    assert enable_persistent_compilation_cache(d) == expect  # idempotent
 
     monkeypatch.setenv("GANECDOTES_COMPILE_CACHE", "off")
     assert enable_persistent_compilation_cache(d) is None
 
     monkeypatch.setenv("GANECDOTES_COMPILE_CACHE", str(tmp_path / "env_dir"))
-    assert enable_persistent_compilation_cache() == str(tmp_path / "env_dir")
+    assert enable_persistent_compilation_cache() == os.path.join(
+        str(tmp_path / "env_dir"), tag
+    )

@@ -28,6 +28,13 @@ def main():
     ap.add_argument("--iters_per_epoch", type=int, default=None)
     ap.add_argument("--save_every", type=int, default=1,
                     help="checkpoint every N epochs")
+    ap.add_argument("--chunk", type=int, default=1,
+                    help="GAN iterations staged per optimizer call; >1 "
+                         "fuses plain (D,G) runs into one lax.scan "
+                         "dispatch. Measured NO faster on this relay "
+                         "(async dispatch already pipelines; see "
+                         "docs/PERFORMANCE.md) — kept for environments "
+                         "with truly synchronous dispatch.")
     args = ap.parse_args()
 
     import jax
@@ -91,21 +98,32 @@ def main():
         gan.logger.info("no --data_dir: training against noise (smoke mode)")
         rng = np.random.RandomState(0)
 
+    def next_batch():
+        if loader is not None:
+            return loader.next()
+        return rng.rand(cfg.batch_size, size, size, chans).astype(
+            np.float32
+        ) * 2 - 1
+
+    chunk = max(1, args.chunk)
     it = 0
     for epoch in range(gan.epoch, gan.epoch + n_epochs):
         t0 = time.time()
-        for _ in range(iters):
-            batch = (
-                loader.next()
-                if loader is not None
-                else rng.rand(cfg.batch_size, size, size, chans).astype(
-                    np.float32
-                ) * 2 - 1
-            )
-            gan.set_input(data_sample={"ct": batch}, iter_no=it,
-                          epoch_no=epoch)
-            gan.optimize_parameters()
-            it += 1
+        done = 0
+        while done < iters:
+            k = min(chunk, iters - done)
+            if k == 1:
+                gan.set_input(data_sample={"ct": next_batch()}, iter_no=it,
+                              epoch_no=epoch)
+                gan.optimize_parameters()
+            else:
+                # k full iterations under ONE jitted dispatch; a partial
+                # final chunk compiles a second (persistent-cached) program
+                gan.optimize_parameters_chunk(
+                    [next_batch() for _ in range(k)]
+                )
+            it += k
+            done += k
         losses = gan.get_current_losses()
         loss_str = " ".join(f"{k}={v:.4f}" for k, v in losses.items())
         gan.logger.info(
