@@ -347,7 +347,7 @@ def ada_update(state, real_pred, target, aug_len, update_every, axis_name=None):
         r_t = pred_signs / n_pred
         sign = jnp.where(r_t > target, 1.0, -1.0)
         p = jnp.clip(p + sign * n_pred / aug_len, 0.0, 1.0)
-        return jnp.zeros(2), jnp.asarray(0), p, r_t
+        return jnp.zeros(2), jnp.asarray(0, jnp.int32), p, r_t
 
     def no_update(args):
         buf, update, p, r_t = args
@@ -363,9 +363,13 @@ def ada_update(state, real_pred, target, aug_len, update_every, axis_name=None):
 def ada_init_state(p0=0.0):
     return {
         "buf": jnp.zeros(2),
-        "update": jnp.asarray(0),
-        "p": jnp.asarray(float(p0)),
-        "r_t": jnp.asarray(0.0),
+        # explicit dtypes: a bare jnp.asarray(0) is WEAK-typed, and a
+        # weak-typed leaf in a jitted step's arguments retraces+recompiles
+        # the whole program on the second call once the first call's
+        # (strong-typed) outputs are fed back in
+        "update": jnp.asarray(0, jnp.int32),
+        "p": jnp.asarray(float(p0), jnp.float32),
+        "r_t": jnp.asarray(0.0, jnp.float32),
     }
 
 

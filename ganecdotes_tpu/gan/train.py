@@ -257,7 +257,7 @@ class BagGANHQ(GANBaseModel):
         self.logger.info("Initialized Generator " + "+" * 40)
 
         self.latent_size = config.latent_dim
-        self.mean_path_length = jnp.asarray(0.0)
+        self.mean_path_length = jnp.asarray(0.0, jnp.float32)
         self.ada_state = ada_init_state(getattr(config, "augment_p", 0) or 0.0)
         self.iter_no = 0
 

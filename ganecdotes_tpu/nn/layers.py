@@ -38,7 +38,12 @@ def equal_linear_init(key, in_dim, out_dim, bias=True, bias_init=0.0, lr_mul=1.0
     """weight ~ N(0,1)/lr_mul, runtime scale (1/sqrt(in))*lr_mul (ref :223-239)."""
     params = {"weight": jax.random.normal(key, (in_dim, out_dim)) / lr_mul}
     if bias:
-        params["bias"] = jnp.full((out_dim,), float(bias_init))
+        # explicit dtype: jnp.full from a python float is WEAK-typed, and
+        # a weak param leaf silently retraces+recompiles every jitted
+        # program the first time an (optimizer-updated, strong-typed)
+        # tree is passed back in — one full duplicate compile of every
+        # train/infer program per process, measured at minutes on TPU
+        params["bias"] = jnp.full((out_dim,), float(bias_init), jnp.float32)
     return params
 
 

@@ -322,7 +322,7 @@ def test_bagganhq_wgangp_step_with_remat(tmp_path):
         is_train=True, image_size=16, latent_dim=32, num_channels=3,
         batch_size=2, gan_mode="wgangp", use_ppl=False, r1_lambda=10,
         ppl_lambda=2, path_batch_shrink=2, ppl_decay=0.01, d_reg_every=4,
-        g_reg_every=4, mixing_prob=0.9, chl_multiplier=1,
+        g_reg_every=4, mixing_prob=1.0, chl_multiplier=1,
         g_reg_ratio=4 / 5, d_reg_ratio=16 / 17, augment=True, augment_p=0,
         ada_target=0.6, ada_length=100, lr=0.002, beta1=0.0,
         lr_policy="linear",
@@ -341,6 +341,16 @@ def test_bagganhq_wgangp_step_with_remat(tmp_path):
     assert np.isfinite(losses["d"]) and np.isfinite(losses["g_gan"])
     after = jax.tree.leaves(gan.disc_params)[0]
     assert float(np.max(np.abs(np.asarray(after) - np.asarray(before)))) > 0
+
+    # retrace regression: a second iteration (plain, same latent-list
+    # structure) must REUSE the compiled programs. Weak-typed leaves in
+    # the initial ada_state / mean_path_length once made every step
+    # silently recompile when the first call's strong-typed outputs were
+    # fed back in — minutes of duplicate compiles per run at 256².
+    gan.set_input(data_sample={"ct": real * 2 - 1}, iter_no=2, epoch_no=0)
+    gan.optimize_parameters()
+    assert gan._d_step._cache_size() == 1, gan._d_step._cache_size()
+    assert gan._g_step._cache_size() == 1, gan._g_step._cache_size()
 
 
 def test_update_learning_rate_keeps_hyperparam_avals(tmp_path):
