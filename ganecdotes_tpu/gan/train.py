@@ -540,12 +540,6 @@ class BagGANHQ(GANBaseModel):
             carry, _ = jax.lax.scan(dg_body, carry, xs)
             return carry
 
-        # unjitted inner programs, exposed for tests/benchmarks that need
-        # to recompose them (e.g. compile-cost isolation)
-        self._steps_raw = {
-            "d": d_step, "r1": r1_step, "g": g_step, "ppl": ppl_step,
-            "dg_body": dg_body, "run_dg_chunk": run_dg_chunk,
-        }
 
         # inject_index is traced (see synth): one compiled variant per
         # latent-list structure, no per-draw recompiles
@@ -748,6 +742,12 @@ class BagGANHQ(GANBaseModel):
 
         real_batches: sequence of (B,H,W,C) arrays (or {'ct': array}
         samples, matching ``set_input``).
+
+        Note: the ``set_input``-style attributes (``ref_image``,
+        ``input_latent``, ``inject_index``, ``epoch_no``) are only
+        refreshed by the delegated lazy-reg iterations — the fused plain
+        iterations stage their inputs internally. Call ``set_input``
+        before ``forward()``/``test()`` after a chunk.
         """
         cfg = self.config
         n_latent = self.gen_meta["n_latent"]

@@ -43,7 +43,9 @@ def _machine_tag():
                         flags = line.strip()
                         break
         except OSError:
-            pass
+            # non-procfs host: fall back to the coarser platform identity
+            # so at least different machine models partition apart
+            flags = platform.processor() + "|" + platform.platform()
         return hashlib.sha1(
             (platform.machine() + "|" + flags).encode()
         ).hexdigest()[:10]
@@ -59,11 +61,21 @@ def enable_persistent_compilation_cache(cache_dir=None):
     cache_dir = env or cache_dir or os.path.join(
         os.path.expanduser("~"), ".cache", "ganecdotes_tpu_xla"
     )
+    base_dir = cache_dir
     cache_dir = os.path.join(cache_dir, _machine_tag())
     try:
         import jax
 
         os.makedirs(cache_dir, exist_ok=True)
+        # prune pre-partitioning entries left at the base level: they are
+        # unreachable now and may hold another host's AOT code
+        try:
+            for name in os.listdir(base_dir):
+                p = os.path.join(base_dir, name)
+                if name.endswith("-cache") and os.path.isfile(p):
+                    os.unlink(p)
+        except OSError:
+            pass
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # cache every compile that took >= 1 s (the relay's floor for real
         # programs); tiny entries are skipped to bound directory growth

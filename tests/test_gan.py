@@ -380,11 +380,11 @@ def test_update_learning_rate_keeps_hyperparam_avals(tmp_path):
     )
     gan = BagGANHQ(cfg)
     gan.setup_gan()
-    before_g = jax.core.get_aval(gan.opt_g_state.hyperparams["learning_rate"])
-    before_d = jax.core.get_aval(gan.opt_d_state.hyperparams["learning_rate"])
+    before_g = jax.typeof(gan.opt_g_state.hyperparams["learning_rate"])
+    before_d = jax.typeof(gan.opt_d_state.hyperparams["learning_rate"])
     gan.update_learning_rate()
-    after_g = jax.core.get_aval(gan.opt_g_state.hyperparams["learning_rate"])
-    after_d = jax.core.get_aval(gan.opt_d_state.hyperparams["learning_rate"])
+    after_g = jax.typeof(gan.opt_g_state.hyperparams["learning_rate"])
+    after_d = jax.typeof(gan.opt_d_state.hyperparams["learning_rate"])
     assert after_g == before_g, (before_g, after_g)
     assert after_d == before_d, (before_d, after_d)
 
@@ -413,9 +413,10 @@ def test_bagganhq_chunked_training_matches_single_steps(tmp_path):
 
     # the two trainers build identical programs at identical shapes —
     # the persistent cache dedupes their compiles (and makes re-runs of
-    # this test cheap); the cache dir is machine-fingerprinted so this
-    # never loads foreign-host AOT blobs
-    enable_persistent_compilation_cache()
+    # this test cheap). Deliberately NOT tmp_path (that would defeat the
+    # cross-run reuse) but also not the user's $HOME: a fixed /tmp dir,
+    # machine-fingerprinted like every cache dir
+    enable_persistent_compilation_cache("/tmp/ganecdotes_test_xla_cache")
 
     def make_cfg(sub):
         return types.SimpleNamespace(

@@ -18,7 +18,7 @@ import pytest
 def _weak_leaves(tree, where):
     bad = []
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        if isinstance(leaf, jax.Array) and jax.core.get_aval(leaf).weak_type:
+        if isinstance(leaf, jax.Array) and jax.typeof(leaf).weak_type:
             bad.append(f"{where}{jax.tree_util.keystr(path)}")
     return bad
 
@@ -76,7 +76,7 @@ def test_step_outputs_keep_param_avals():
         jax.tree_util.tree_flatten_with_path(params)[0],
         jax.tree_util.tree_flatten_with_path(new)[0],
     ):
-        assert jax.core.get_aval(a) == jax.core.get_aval(b), (
-            jax.tree_util.keystr(pa), jax.core.get_aval(a),
-            jax.core.get_aval(b),
+        assert jax.typeof(a) == jax.typeof(b), (
+            jax.tree_util.keystr(pa), jax.typeof(a),
+            jax.typeof(b),
         )
