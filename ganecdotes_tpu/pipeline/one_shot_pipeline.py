@@ -532,9 +532,15 @@ class OneShotPipeline:
             )
             done += n
             if stateful_sched:
-                # torch ReduceLROnPlateau semantics: step on the loss
+                # torch ReduceLROnPlateau semantics: step on the loss.
+                # Strong f32 scalar, matching what inject_hyperparams
+                # stored: a raw python float is weak-typed and would
+                # retrace + recompile the whole fine-tune scan program on
+                # the next chunk (cf. gan/train.py update_learning_rate)
                 mult = sched.step(float(loss))
-                opt_state.hyperparams["learning_rate"] = tc.lr * mult
+                opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                    tc.lr * mult, jnp.float32
+                )
             self.logger.info(
                 f"{done:5}-th epoch | loss: {float(loss):6.4f} | "
                 f"time: {time.time() - start:6.1f}sec"

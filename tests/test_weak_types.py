@@ -58,6 +58,42 @@ def test_no_weak_typed_param_leaves():
     assert not bad, f"weak-typed leaves (will retrace every program): {bad}"
 
 
+def test_plateau_finetune_lr_update_does_not_retrace():
+    """The fine-tune loop's plateau (stateful) scheduler writes
+    opt_state.hyperparams['learning_rate'] between scan chunks; the write
+    must keep the strong f32 aval inject_hyperparams stored, or the next
+    chunk retraces + recompiles the whole multi-epoch scan program (cf.
+    one_shot_pipeline.py fine-tune block, gan/train.py LR update)."""
+    from ganecdotes_tpu.pipeline.schedulers import plateau_lr
+    from ganecdotes_tpu.pipeline.trainer import make_supervised_finetune
+
+    def apply_fn(params, state, features):
+        return features @ params["w"], state
+
+    def ce(out, lbl):
+        return jnp.mean((out - lbl[..., None].astype(jnp.float32)) ** 2)
+
+    optimizer, run_chunk = make_supervised_finetune(
+        apply_fn, [(1.0, ce)], 8, lr=1e-2, stateful_sched=True
+    )
+    params = {"w": jnp.zeros((2, 2), jnp.float32)}
+    opt_state = optimizer.init(params)
+    features = jnp.ones((1, 8, 8, 2), jnp.float32)
+    label = jnp.zeros((1, 8, 8), jnp.int32)
+    sched = plateau_lr(patience=0, factor=0.5)
+
+    for _ in range(3):
+        params, opt_state, _st, loss = run_chunk(
+            params, opt_state, (), features, label, 0, 2
+        )
+        mult = sched.step(float(loss))
+        # the production write (one_shot_pipeline.py): must stay strong f32
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            1e-2 * mult, jnp.float32
+        )
+    assert run_chunk._cache_size() == 1, run_chunk._cache_size()
+
+
 def test_step_outputs_keep_param_avals():
     """The round-trip guarantee the factories exist for: feeding a
     factory tree through one optimizer update must not change any leaf
