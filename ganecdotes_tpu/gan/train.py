@@ -112,7 +112,11 @@ def get_scheduler(lr_policy, epoch_count=None, n_epochs=None,
     elif lr_policy == "plateau":
         from ganecdotes_tpu.pipeline.schedulers import plateau_lr
 
-        return plateau_lr(patience=5, factor=0.2)
+        # ReduceLROnPlateau(mode='min', factor=0.2, threshold=0.01,
+        # patience=5) — the reference's exact arguments
+        # (models/baggan/gan_util.py:110-115); rel threshold + cooldown=0
+        # are torch defaults, honored by plateau_lr
+        return plateau_lr(patience=5, factor=0.2, threshold=0.01)
     else:
         raise NotImplementedError(f"lr policy {lr_policy} not found")
     return sched
