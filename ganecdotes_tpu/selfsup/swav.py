@@ -519,6 +519,10 @@ class SwAVClustering:
         # use it to assert the loss actually decreases)
         self.record_loss_history = False
         self.loss_history = []
+        # how many times pretrain() ran in this process — lets callers (and
+        # the warm-start test) assert a presaved checkpoint was LOADED
+        # rather than silently retrained
+        self.pretrain_count = 0
         self.model = model
         self.model_config = model_config
         self.perturb_args = perturb_args
@@ -582,6 +586,7 @@ class SwAVClustering:
 
     def pretrain(self, input_latent=None):
         del input_latent  # placeholder in the reference too
+        self.pretrain_count += 1
         sa = self.swav_args
         self.key, k_init = jax.random.split(self.key)
         self.ssl_params = init_swav_params(

@@ -235,8 +235,18 @@ def test_swav_presaved_reload(tmp_path, tiny_configs):
     )
     pipe2.seg_config.train_hfc = False
     pipe2.seg_config.hfc_prep_args["train"] = False
+    params_path = os.path.join(out, "swav_params.npz")
+    mtime_before = os.path.getmtime(params_path)
     pipe2.run_pipeline()
-    assert pipe2.mean_mask_iou >= 0.0
+    # warm start means LOADED, not retrained: pretrain() never ran in the
+    # second pipeline and the checkpoint on disk was not rewritten
+    assert pipe2.preprocessor.pretrain_count == 0
+    assert os.path.getmtime(params_path) == mtime_before
+    # and the reloaded embedding still supports a head that learns
+    assert pipe2.mean_mask_iou > _majority_class_mean_iou(pipe2), (
+        f"warm-started head did not beat majority baseline: "
+        f"{pipe2.mean_mask_iou:.4f}"
+    )
 
 
 def test_fits_roundtrip(tmp_path):
@@ -349,24 +359,33 @@ def test_swav_plot_test_images(tmp_path):
 @pytest.mark.slow
 def test_pipeline_inference_dtype_bf16(tmp_path, tiny_configs):
     """model_config.inference_dtype='bfloat16' runs the whole test block in
-    bf16 (the benched MXU configuration) end-to-end."""
+    bf16 (the benched MXU configuration) end-to-end, and its per-pixel
+    predictions agree with the fp32 run's (same seeds, same configs) —
+    bf16 is a serving dtype, not a different model."""
     from ganecdotes_tpu.pipeline.one_shot_pipeline import OneShotPipeline
 
-    model_cfg = tmp_path / "model_bf16_config.py"
-    model_cfg.write_text(
-        open(tiny_configs["model"]).read()
-        + "\ninference_dtype = 'bfloat16'\n"
+    def run(tag, extra_cfg):
+        model_cfg = tmp_path / f"model_{tag}_config.py"
+        model_cfg.write_text(open(tiny_configs["model"]).read() + extra_cfg)
+        out = str(tmp_path / f"out_{tag}")
+        pipe = OneShotPipeline(
+            out_dir=out, model="ffhq-256", segmentor="hfc_with_swav",
+            num_test_samples=2,
+            custom={"model": str(model_cfg),
+                    "trainer": tiny_configs["trainer"],
+                    "seg": tiny_configs["swav"]},
+        )
+        pipe.run_pipeline()
+        return np.load(os.path.join(out, "tests", "label_predictions.npy"))
+
+    preds32 = run("fp32ref", "")
+    preds16 = run("bf16", "\ninference_dtype = 'bfloat16'\n")
+    assert preds16.shape == preds32.shape
+    agreement = float((preds16 == preds32).mean())
+    assert agreement >= 0.95, (
+        f"bf16 predictions drifted from fp32: only {agreement:.3%} of "
+        f"pixels agree"
     )
-    out = str(tmp_path / "out_bf16")
-    pipe = OneShotPipeline(
-        out_dir=out, model="ffhq-256", segmentor="hfc_with_swav",
-        num_test_samples=2,
-        custom={"model": str(model_cfg),
-                "trainer": tiny_configs["trainer"],
-                "seg": tiny_configs["swav"]},
-    )
-    pipe.run_pipeline()
-    assert pipe.mean_mask_iou >= 0.0
 
 
 def test_online_input_noises_shape_synthesis(tmp_path, tiny_configs):
