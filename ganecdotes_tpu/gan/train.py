@@ -320,6 +320,10 @@ class BagGANHQ(GANBaseModel):
         # 256^2 batch 16); 'exact' keeps the grid_sample oracle semantics
         warp_impl = getattr(cfg, "ada_warp_impl", "shear")
         gan_mode = cfg.gan_mode
+        # 'all' = checkpoint every D forward under wgangp (lowest peak);
+        # 'gp' = checkpoint only the gradient-penalty branch (faster iter,
+        # higher peak — see d_loss_fn)
+        wgangp_remat = getattr(cfg, "wgangp_remat", "all")
 
         n_latent = meta["n_latent"]
 
@@ -354,14 +358,20 @@ class BagGANHQ(GANBaseModel):
                 d_in_real, _ = augment(d_in_real, ada_p, k2,
                                        warp_impl=warp_impl)
             fwd = discriminator_forward
-            if gan_mode == "wgangp":
+            if gan_mode == "wgangp" and wgangp_remat == "all":
                 # rematerialize every D forward under wgangp: the
                 # gradient penalty's grad-of-grad makes XLA keep ALL
                 # D residuals live — measured (AOT memory_analysis,
                 # 256² batch 20 production config) d_step peaks at
                 # 15.57 GiB on a 16 GiB chip without remat, 12.21 GiB
                 # with; the un-remat'd form intermittently OOMs when any
-                # other program's buffers are resident
+                # other program's buffers are resident.
+                # wgangp_remat='gp' checkpoints ONLY the penalty branch
+                # below (whose grad-of-grad is what pins the residuals)
+                # and leaves these two plain forwards unremat'd — buys
+                # back the ~13% iter-time remat tax if the selective
+                # peak still fits; see docs/PERFORMANCE.md for the
+                # AOT-measured peaks of both modes.
                 ckpt_fwd = jax.checkpoint(
                     lambda dp, x: discriminator_forward(dp, d_meta, x)
                 )

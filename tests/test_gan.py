@@ -353,6 +353,49 @@ def test_bagganhq_wgangp_step_with_remat(tmp_path):
     assert gan._g_step._cache_size() == 1, gan._g_step._cache_size()
 
 
+def test_wgangp_selective_remat_matches_full_remat(tmp_path):
+    """wgangp_remat='gp' (checkpoint only the gradient-penalty branch,
+    leave the plain D(real)/D(fake) forwards unremat'd) is a memory/speed
+    knob, NOT a math change: one full D+G iteration must match
+    wgangp_remat='all' bit-for-bit given identical seeds and inputs."""
+    import types
+
+    from ganecdotes_tpu.gan.train import BagGANHQ
+
+    def make_cfg(sub, remat):
+        return types.SimpleNamespace(
+            out_dir=str(tmp_path / sub), checkpoint_dir=str(tmp_path / sub),
+            is_train=True, image_size=16, latent_dim=32, num_channels=3,
+            batch_size=2, gan_mode="wgangp", use_ppl=False, r1_lambda=10,
+            ppl_lambda=2, path_batch_shrink=2, ppl_decay=0.01,
+            d_reg_every=4, g_reg_every=4, mixing_prob=1.0, chl_multiplier=1,
+            g_reg_ratio=4 / 5, d_reg_ratio=16 / 17, augment=True,
+            augment_p=0, ada_target=0.6, ada_length=100, lr=0.002,
+            beta1=0.0, lr_policy="linear",
+            lr_params=dict(epoch_count=1, n_epochs=2, n_epochs_decay=2),
+            generator_params=dict(mlp_layers=1),
+            losses_to_print=["g_gan", "d"],
+            start_epoch=1, continue_train=False, load_net=False,
+            wgangp_remat=remat,
+        )
+
+    real = np.random.RandomState(0).rand(2, 16, 16, 3).astype(np.float32)
+    results = {}
+    for remat in ("all", "gp"):
+        gan = BagGANHQ(make_cfg(remat, remat), seed=3)
+        gan.set_input(data_sample={"ct": real * 2 - 1}, iter_no=1,
+                      epoch_no=0)
+        gan.optimize_parameters()
+        results[remat] = (
+            float(gan.loss_d), float(gan.loss_g_gan),
+            np.asarray(jax.tree.leaves(gan.disc_params)[0]),
+        )
+
+    assert results["gp"][0] == results["all"][0]
+    assert results["gp"][1] == results["all"][1]
+    np.testing.assert_array_equal(results["gp"][2], results["all"][2])
+
+
 def test_update_learning_rate_keeps_hyperparam_avals(tmp_path):
     """The per-epoch LR update must not change the optimizer hyperparam
     leaf aval (strong f32 scalar -> python float would be WEAK f32):
