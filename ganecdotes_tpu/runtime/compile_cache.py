@@ -8,12 +8,13 @@ so every CLI (bench / evaluate / pretrain / train_baggan / GUI) enables it
 at startup.
 
 Honesty note (measured): the win is real for stable programs, but repeat
-`evaluate.py` runs did NOT get faster end-to-end in this environment
-(225 s cold vs 287 s "warm" — the second run still wrote new cache entries,
-i.e. some pipeline programs fingerprint differently run-to-run, and relay
-latency variance dominates). Treat the cache as a free floor, not a
-guaranteed speedup; investigating the fingerprint instability is future
-work.
+`evaluate.py` runs did NOT get faster end-to-end through the relay in
+round 3 (225 s cold vs 287 s "warm"). Round 4 resolved the suspicion of
+fingerprint instability: on CPU an identical second pipeline run writes
+ZERO new cache entries and finishes 2x faster end-to-end (48 s -> 24 s,
+docs/PERFORMANCE.md) — fingerprints are stable cross-process, so the
+round-3 TPU non-win is relay-side variance, not a cache bug. Treat the
+cache as a free floor.
 
 Opt out with GANECDOTES_COMPILE_CACHE=off; point elsewhere with
 GANECDOTES_COMPILE_CACHE=/path.
