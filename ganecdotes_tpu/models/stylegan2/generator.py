@@ -41,6 +41,15 @@ from ganecdotes_tpu.nn.layers import (
 from ganecdotes_tpu.ops.fused_act import fused_leaky_relu
 from ganecdotes_tpu.ops.upfirdn2d import blur_2d, upsample_2d
 
+# Non-up StyledConv implementation: 'xla' (conv + XLA epilogue fusions) or
+# 'pallas' (ops/modulated_conv_pallas.py — conv as 9 shifted MXU matmuls
+# with the demod/noise/bias/lrelu epilogue fused in VMEM, saving the conv
+# output's HBM round trip). Default per the measured decision in
+# docs/PERFORMANCE.md; override with GANECDOTES_STYLED_CONV_IMPL.
+import os as _os
+
+STYLED_CONV_IMPL = _os.environ.get("GANECDOTES_STYLED_CONV_IMPL", "xla")
+
 
 def channel_map(channel_multiplier=2, res2chlmap=None):
     """Resolution -> channel width (ref model.py:484-494).
@@ -225,6 +234,20 @@ def _modulated_conv_apply(
 
 
 def _styled_conv_apply(p, x, style_w, noise, up=False, blur_kernel=(1, 3, 3, 1)):
+    if not up and STYLED_CONV_IMPL == "pallas":
+        from ganecdotes_tpu.ops.modulated_conv_pallas import styled_conv3x3
+
+        pc = p["conv"]
+        kh, kw, in_ch, _ = pc["weight"].shape
+        scale = 1.0 / math.sqrt(in_ch * kh * kw)
+        s = equal_linear_apply(pc["modulation"], style_w)
+        w = pc["weight"] * scale
+        w_sq = jnp.sum(jnp.square(w), axis=(0, 1))
+        demod = jax.lax.rsqrt(jnp.square(s) @ w_sq.astype(s.dtype) + 1e-8)
+        return styled_conv3x3(
+            x, w, s, demod, noise, p["noise_weight"], p["bias"],
+            impl="pallas",
+        )
     out = _modulated_conv_apply(
         p["conv"], x, style_w, demodulate=True, up=up, blur_kernel=blur_kernel
     )

@@ -1,0 +1,91 @@
+"""Measure XLA composite vs fused Pallas styled-conv at the hot shapes.
+
+Run on the real TPU (no JAX_PLATFORMS override). Prints per-shape device
+times using the chained-fori methodology (host timing under-reports >10x
+through the relay) and a KEEP/REJECT verdict per shape. The decision table
+goes into ops/modulated_conv_pallas.py's docstring + docs/PERFORMANCE.md,
+and GANECDOTES_STYLED_CONV_IMPL defaults follow it.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ganecdotes_tpu.ops.modulated_conv_pallas import (
+    pallas_supported,
+    styled_conv3x3,
+    styled_conv3x3_ref,
+)
+
+# (B, H, W, Cin, Cout): the ffhq-256 synthesis stack's non-up styled convs
+# at the benched batch (headline batch 32), plus car-512's 512px level
+SHAPES = [
+    (32, 64, 64, 512, 512),
+    (32, 128, 128, 256, 256),
+    (32, 256, 256, 128, 128),
+    (8, 512, 512, 128, 128),   # car-512 tail at its benched batch
+]
+
+
+def timed(fn, args, iters=30):
+    @jax.jit
+    def prog(args):
+        def body(i, s):
+            out = fn(*args[:4], args[4] + i * 1e-9, *args[5:])
+            return s + out.astype(jnp.float32).mean()
+
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    float(prog(args))  # compile + warm
+    t0 = time.perf_counter()
+    float(prog(args))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    dt = jnp.bfloat16
+    print(f"device: {jax.devices()[0].device_kind}")
+    for B, H, W, Cin, Cout in SHAPES:
+        rng = np.random.RandomState(0)
+        args = (
+            jnp.asarray(rng.randn(B, H, W, Cin), dt),
+            jnp.asarray(rng.randn(3, 3, Cin, Cout) * 0.05, jnp.float32),
+            jnp.asarray(rng.rand(B, Cin) + 0.5, jnp.float32),
+            jnp.asarray(rng.rand(B, Cout) + 0.5, jnp.float32),
+            jnp.asarray(rng.randn(B, H, W, 1), dt),
+            jnp.asarray(0.3, jnp.float32),
+            jnp.asarray(rng.randn(Cout) * 0.1, jnp.float32),
+        )
+        th = pallas_supported(args[0].shape, Cout, dt.dtype.itemsize
+                              if hasattr(dt, "dtype") else 2)
+        flops = 2 * B * H * W * 9 * Cin * Cout
+
+        t_xla = timed(styled_conv3x3_ref, args)
+        t_pal = timed(
+            lambda *a: styled_conv3x3(*a, impl="pallas"), args
+        )
+        # parity spot check at the benched shape
+        d = jnp.max(
+            jnp.abs(
+                styled_conv3x3_ref(*args).astype(jnp.float32)
+                - styled_conv3x3(*args, impl="pallas").astype(jnp.float32)
+            )
+        )
+        verdict = "KEEP" if t_pal < t_xla else "REJECT"
+        print(
+            f"B{B} {H}x{W} {Cin}->{Cout} tile_h={th}: "
+            f"xla {t_xla*1e3:.3f} ms ({flops/t_xla/1e12:.1f} TF/s) | "
+            f"pallas {t_pal*1e3:.3f} ms ({flops/t_pal/1e12:.1f} TF/s) | "
+            f"maxdiff {float(d):.4f} | {verdict}"
+        )
+
+
+if __name__ == "__main__":
+    from ganecdotes_tpu.runtime.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+    main()

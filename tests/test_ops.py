@@ -417,3 +417,130 @@ def test_affine_warp_shear_close_over_ada_transform_distribution():
         ys = np.asarray(affine_warp_shear(x, M))[:, 10:-10, 10:-10]
         worst = max(worst, float(np.abs(ye - ys).max()))
     assert worst < 0.15, f"worst interior deviation {worst:.4f}"
+
+
+# ---------------------------------------------------------------------------
+# fused styled-conv 3x3 Pallas kernel (ops/modulated_conv_pallas.py)
+# ---------------------------------------------------------------------------
+
+
+def _styled_conv_inputs(B=2, H=16, W=16, Cin=128, Cout=128, dtype=jnp.float32):
+    rng = np.random.RandomState(0)
+    return (
+        jnp.asarray(rng.randn(B, H, W, Cin), dtype),
+        jnp.asarray(rng.randn(3, 3, Cin, Cout) * 0.05, jnp.float32),
+        jnp.asarray(rng.rand(B, Cin) + 0.5, jnp.float32),
+        jnp.asarray(rng.rand(B, Cout) + 0.5, jnp.float32),
+        jnp.asarray(rng.randn(B, H, W, 1), dtype),
+        jnp.asarray(0.3, jnp.float32),
+        jnp.asarray(rng.randn(Cout) * 0.1, jnp.float32),
+    )
+
+
+def test_styled_conv3x3_pallas_parity():
+    """The fused kernel (9 shifted MXU matmuls + in-VMEM epilogue) computes
+    exactly the composite: modulate -> conv3x3 -> demod -> noise -> bias ->
+    lrelu*sqrt2."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ganecdotes_tpu.ops.modulated_conv_pallas import (
+        styled_conv3x3,
+        styled_conv3x3_ref,
+    )
+
+    args = _styled_conv_inputs()
+    ref = styled_conv3x3_ref(*args)
+    with pltpu.force_tpu_interpret_mode():
+        out = styled_conv3x3(*args, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_styled_conv3x3_pallas_grad_is_composite_vjp():
+    """custom_vjp backward = the XLA composite's VJP, exactly (training
+    differentiates through identical math)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ganecdotes_tpu.ops.modulated_conv_pallas import (
+        styled_conv3x3,
+        styled_conv3x3_ref,
+    )
+
+    x, w, s, demod, noise, nw, bias = _styled_conv_inputs(H=8, W=8)
+
+    def loss_p(x, w, s, bias):
+        with pltpu.force_tpu_interpret_mode():
+            return styled_conv3x3(x, w, s, demod, noise, nw, bias,
+                                  impl="pallas").sum()
+
+    def loss_r(x, w, s, bias):
+        return styled_conv3x3_ref(x, w, s, demod, noise, nw, bias).sum()
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(x, w, s, bias)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(x, w, s, bias)
+    for a, b in zip(gp, gr):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_styled_conv3x3_pallas_falls_back_on_unsupported_shapes():
+    """Non-lane-aligned channels route to the composite (identical result,
+    no error) so a blanket impl='pallas' policy is safe."""
+    from ganecdotes_tpu.ops.modulated_conv_pallas import (
+        pallas_supported,
+        styled_conv3x3,
+        styled_conv3x3_ref,
+    )
+
+    args = _styled_conv_inputs(Cin=48, Cout=96)
+    assert pallas_supported(args[0].shape, 96, 4) is None
+    out = styled_conv3x3(*args, impl="pallas")  # no interpret ctx needed
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(styled_conv3x3_ref(*args)))
+
+
+def test_styled_conv3x3_pallas_bf16():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ganecdotes_tpu.ops.modulated_conv_pallas import (
+        styled_conv3x3,
+        styled_conv3x3_ref,
+    )
+
+    args = _styled_conv_inputs(dtype=jnp.bfloat16)
+    ref = styled_conv3x3_ref(*args).astype(jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = styled_conv3x3(*args, impl="pallas").astype(jnp.float32)
+    assert out.dtype == ref.dtype
+    # bf16 path: kernel accumulates fp32 and rounds once; composite rounds
+    # per op — agree to bf16 resolution
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=0.15, rtol=0.05)
+
+
+def test_generator_pallas_styled_conv_impl_parity():
+    """GANECDOTES_STYLED_CONV_IMPL='pallas' swaps every non-up StyledConv in
+    the synthesis stack for the fused kernel without changing the output."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ganecdotes_tpu.models.stylegan2 import generator as G
+
+    params, meta = G.init_generator(jax.random.PRNGKey(0), 32)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 512))
+
+    img_ref, feats_ref = G.generator_forward(
+        params, meta, [z], randomize_noise=False
+    )
+    old = G.STYLED_CONV_IMPL
+    try:
+        G.STYLED_CONV_IMPL = "pallas"
+        with pltpu.force_tpu_interpret_mode():
+            img_p, feats_p = G.generator_forward(
+                params, meta, [z], randomize_noise=False
+            )
+    finally:
+        G.STYLED_CONV_IMPL = old
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_ref),
+                               atol=5e-5, rtol=1e-4)
+    for a, b in zip(feats_p, feats_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)
