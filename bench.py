@@ -288,6 +288,83 @@ def sweep(method="swav", iters=20, start=32, keep_best=False):
     return best_b, (results[best_b], None, None)
 
 
+def pretrain_steps_per_s(method="swav", iters=10, sample_batch=None):
+    """Steps/s of the production ffhq-256 SSL pretrain update — the
+    reference's main `train()` loop body (hfc_with_swav/swav_clustering.py
+    :320-460: 2-view perturbed synthesis, pixel gather-project, Sinkhorn,
+    swapped loss, LARS update; configs/segmentors/hfc_with_swav_ffhq_config
+    .py:21-47). One step = one sample (the reference's strictly-sequential
+    budget); ``sample_batch=n`` measures n vmapped samples per update (the
+    single-chip MXU-filling variant of the multi-chip key-axis sharding).
+
+    Timed as a chained fori loop threading (ssl_params, opt_state) through
+    the carry — honest device time, no dispatch pipelining."""
+    from ganecdotes_tpu.configs import mapper as config_mapper
+    from ganecdotes_tpu.utils.util import load_config
+
+    seg = load_config(
+        config_mapper.segmentors[
+            "hfc_with_swav" if method == "swav" else "hfc_with_simclr"
+        ],
+        "seg_config",
+    )
+    pa = seg.hfc_prep_args["perturb_args"]
+
+    key = jax.random.PRNGKey(2)
+    kg, ks, kt = jax.random.split(key, 3)
+    g = _flagship(kg)
+    mc = {"truncation": 0.7, "latent_dim": 512}
+    mean_w = jnp.zeros((1, 512))
+
+    if method == "swav":
+        from ganecdotes_tpu.selfsup.swav import (
+            init_swav_params,
+            make_swav_train_step,
+        )
+
+        sa = seg.hfc_prep_args["swav_args"]
+        ssl = init_swav_params(ks, sa["hlen"], sa["nclasses"],
+                               sa["nprototypes"], sa["projn_nw"])
+        optimizer, step = make_swav_train_step(
+            g.meta, mc, pa, sa, seg.hfc_prep_args["sinkhorn_args"],
+            mean_w, (256, 256), sample_batch=sample_batch,
+        )
+    else:
+        from ganecdotes_tpu.selfsup.simclr import (
+            init_simclr_params,
+            make_simclr_train_step,
+        )
+
+        sa = seg.hfc_prep_args["simclr_args"]
+        ssl = init_simclr_params(ks, sa["hlen"], sa["nclasses"])
+        optimizer, step = make_simclr_train_step(
+            g.meta, mc, pa, sa, mean_w, (256, 256),
+        )
+    opt_state = optimizer.init(ssl)
+
+    @jax.jit
+    def prog(gen_params, ssl, opt_state, k0):
+        def body(i, c):
+            ssl, opt_state = c
+            k = jax.random.fold_in(k0, i)
+            if method == "swav":
+                keys = jax.random.split(k, sample_batch) if sample_batch \
+                    else k
+                ssl, opt_state, loss = step(
+                    gen_params, ssl, opt_state, keys, i
+                )
+            else:
+                ssl, opt_state, loss = step(gen_params, ssl, opt_state, k)
+            return ssl, opt_state
+        ssl, opt_state = jax.lax.fori_loop(0, iters, body, (ssl, opt_state))
+        return jax.tree.leaves(ssl)[0].astype(jnp.float32).mean()
+
+    float(prog(g.params, ssl, opt_state, kt))  # compile + warm
+    t0 = time.perf_counter()
+    float(prog(g.params, ssl, opt_state, kt))
+    return iters / (time.perf_counter() - t0)
+
+
 def finetune_northstar():
     """Full hfc_with_swav ffhq-256 one-shot fine-tune wall time (< 60 s
     north star, BASELINE.json): embed the one-shot sample, then 200 Adam
@@ -395,6 +472,15 @@ def main():
         "finetune_target_s": 60.0,
     }
     del jfn, args, jfn1, args1
+    # SSL pretraining throughput at the production ffhq-256 configs
+    # (VERDICT r3 task 3); 1 step = 1 sample, the reference's budget
+    for method, key in (("swav", "swav_pretrain_steps_per_s"),
+                        ("simclr", "simclr_pretrain_steps_per_s")):
+        jax.clear_caches()
+        try:
+            extra[key] = round(pretrain_steps_per_s(method, iters=10), 3)
+        except Exception:
+            extra[key] = None
     for method, key, start in (("simclr", "simclr_img_per_s", 32),
                                ("hfc_kmeans", "hfc_kmeans_img_per_s", 32),
                                ("swav512", "car512_img_per_s", 8),

@@ -698,18 +698,10 @@ class OneShotPipeline:
 
             pre = self.preprocessor
             pre.ensure_loaded()
-            if pre.hier_encode and pre.trained_beliefs is None:
-                # beliefs not trained/saved yet: keep the host-orchestrated
-                # path, which estimates them per batch
-                def infer(gen_params, seg_params, latents):
-                    feats, _ = pre.predict_hfc_vectors(latents)
-                    logits = one_shot_segmentor_apply(
-                        seg_params, feats, seg_size
-                    )
-                    img = self.get_image_from_latent(latents)
-                    return img, jnp.argmax(logits, axis=-1)
-
-                return infer
+            # trained_beliefs may still be None here (train mode before
+            # fitting): hfc_predict_from_features then estimates them from
+            # the batch in-graph (region_beliefs_device), so this method ×
+            # mode combination keeps the one-program design too
             n_layers = pre.perturb_config["n_layers"]
             centers = [jnp.asarray(c) for c in pre.hfc_model.centers[:n_layers]]
             cpl = list(pre.hfc_model.clusters_per_layer)
@@ -1092,11 +1084,9 @@ class _TensorBoardShim:
         if self._writer:
             img = np.asarray(img)
             if dataformats is None:
-                # heuristic fallback for callers that don't say: trailing
-                # dim <=4 (1/2/3/4 channels) is HWC; anything wider is a
-                # torch-style CHW tensor. A bare (H,W,C>4) image WOULD be
-                # mislabeled — pass dataformats explicitly in that case.
-                dataformats = "HW" if img.ndim == 2 else (
-                    "HWC" if img.shape[-1] <= 4 else "CHW"
-                )
+                # every internal call site passes dataformats explicitly
+                # (audited: 3× one_shot_pipeline, 1× swav.py); this default
+                # only serves external users, who are NHWC in this
+                # framework — no CHW guessing
+                dataformats = "HW" if img.ndim == 2 else "HWC"
             self._writer.add_image(tag, img, step, dataformats=dataformats)

@@ -428,6 +428,24 @@ def _region_beliefs(curr_map, prev_map, shape):
     return belief
 
 
+def region_beliefs_device(curr_map, prev_map, shape):
+    """Jittable ``_region_beliefs``: co-occurrence as one-hot MXU matmuls.
+
+    belief[v, l] = |{prev==v and curr==l}| / |{curr==l}| with column 0
+    (label 0, skimage-skipped) and absent-label columns zero — exactly the
+    host loop's output (pinned in tests), but traceable, so the pipeline's
+    beliefs-untrained fallback stays one device program."""
+    kp, kc = shape
+    c1 = jax.nn.one_hot(jnp.asarray(curr_map).reshape(-1).astype(jnp.int32),
+                        kc, dtype=jnp.float32)
+    p1 = jax.nn.one_hot(jnp.asarray(prev_map).reshape(-1).astype(jnp.int32),
+                        kp, dtype=jnp.float32)
+    counts = p1.T @ c1  # (Kp, Kc) co-occurrence
+    area = c1.sum(axis=0)  # (Kc,)
+    belief = jnp.where(area > 0, counts / jnp.maximum(area, 1.0), 0.0)
+    return belief.at[:, 0].set(0.0)
+
+
 def hierarchical_label_encoding(im_labels, one_hot_label, clusters_per_layer,
                                 beliefs=None):
     """Propagate label scores down the pyramid via belief matmuls (ref :394-478).
@@ -438,20 +456,23 @@ def hierarchical_label_encoding(im_labels, one_hot_label, clusters_per_layer,
     num_layers = len(im_labels)
 
     if beliefs is None:
+        # estimate from this sample alone, in-graph (region_beliefs_device
+        # == the host _region_beliefs loop, pinned in tests) so callers can
+        # stay inside one jitted program
         beliefs = []
         for k in range(num_layers - 2, -1, -1):
-            prev = np.asarray(im_labels[k + 1]).squeeze()
+            prev = im_labels[k + 1]
             h, w = prev.shape[-2:]
             curr = resize_nearest(
                 jnp.asarray(im_labels[k]).astype(jnp.float32).transpose(0, 2, 3, 1),
                 (h, w),
             )[..., 0]
-            belief = _region_beliefs(
-                np.asarray(curr).squeeze().astype(np.uint8),
-                prev.astype(np.uint8),
-                (clusters_per_layer[k + 1], clusters_per_layer[k]),
+            beliefs.append(
+                region_beliefs_device(
+                    curr, prev,
+                    (clusters_per_layer[k + 1], clusters_per_layer[k]),
+                )
             )
-            beliefs.append(jnp.asarray(belief, dtype=jnp.float32))
 
     ob, oh, ow, oc = one_hot_label.shape
     pred_vect = one_hot_label.reshape(-1, oc)  # (B*H*W, K)
@@ -500,11 +521,9 @@ def hfc_predict_from_features(groups, centers, clusters_per_layer, out_size,
     out_preds = jnp.concatenate(cluster_maps, axis=-1)
 
     if hier_encode:
-        if beliefs is None:
-            raise ValueError(
-                "hfc_predict_from_features: hier_encode requires trained "
-                "belief matrices (fit-time estimation is host-side)"
-            )
+        # beliefs=None estimates them from this batch in-graph
+        # (region_beliefs_device) — the train-mode fallback, same math as
+        # the reference's per-sample path (segmentor.py:169-230)
         k_last = clusters_per_layer[len(groups) - 1]
         hier_labels, hier_preds, _ = hierarchical_label_encoding(
             cluster_labels, out_preds[..., -k_last:], clusters_per_layer,

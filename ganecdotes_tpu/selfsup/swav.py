@@ -793,7 +793,11 @@ class SwAVClustering:
         )
         plt.close(fig)
         if self.writer is not None:
-            self.writer.add_image("swav/test_image", labels[0], e)
+            lab0 = np.asarray(labels[0], dtype=np.float32)
+            self.writer.add_image(
+                "swav/test_image", lab0 / max(float(lab0.max()), 1.0),
+                e, dataformats="HW",
+            )
 
     def predict_swav_codes(self, input_latent, input_is_latent=True):
         """(out_preds NHWC scores, out_labels) for a latent (ref :659-693)."""

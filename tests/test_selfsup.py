@@ -740,3 +740,75 @@ def test_fold_linear_into_head_exact():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-4
         )
+
+
+def test_region_beliefs_device_matches_host_loop():
+    """region_beliefs_device (one-hot matmuls, jittable) == _region_beliefs
+    (the host unique/loop version) exactly, including the skipped label-0
+    column and absent-label columns."""
+    import jax
+
+    from ganecdotes_tpu.selfsup.kmeans import (
+        _region_beliefs,
+        region_beliefs_device,
+    )
+
+    rng = np.random.RandomState(3)
+    for kp, kc in [(4, 7), (8, 3), (5, 5)]:
+        curr = rng.randint(0, kc, size=(2, 16, 16)).astype(np.uint8)
+        prev = rng.randint(0, kp, size=(2, 16, 16)).astype(np.uint8)
+        # force an absent label so its column stays zero
+        curr[curr == kc - 1] = 1
+        host = _region_beliefs(curr, prev, (kp, kc))
+        dev = jax.jit(
+            lambda c, p: region_beliefs_device(c, p, (kp, kc))
+        )(curr.astype(np.int32), prev.astype(np.int32))
+        np.testing.assert_allclose(np.asarray(dev), host, atol=1e-6)
+        assert np.asarray(dev)[:, 0].sum() == 0
+
+
+def test_hfc_predict_beliefs_none_jits_and_matches_trained_estimate():
+    """hier_encode with beliefs=None estimates the belief matrices from the
+    batch IN-GRAPH — the whole predict composes under jit (the pipeline's
+    train-mode fallback no longer drops to host orchestration), and feeding
+    the estimated matrices back as trained beliefs reproduces the output."""
+    import jax
+    import jax.numpy as jnp
+
+    from ganecdotes_tpu.ops.interp import resize_nearest
+    from ganecdotes_tpu.selfsup.kmeans import (
+        hfc_predict_from_features,
+        kmeans_predict,
+        region_beliefs_device,
+    )
+
+    rng = np.random.RandomState(0)
+    cpl = [3, 5]
+    groups = [
+        jnp.asarray(rng.randn(2, 8, 8, 6).astype(np.float32)),
+        jnp.asarray(rng.randn(2, 16, 16, 4).astype(np.float32)),
+    ]
+    centers = [
+        jnp.asarray(rng.randn(cpl[0], 6).astype(np.float32)),
+        jnp.asarray(rng.randn(cpl[1], 4).astype(np.float32)),
+    ]
+
+    feats_auto, labels_auto = jax.jit(
+        lambda g, c: hfc_predict_from_features(g, c, cpl, 16, True, None)
+    )(groups, centers)
+
+    # manual: estimate beliefs exactly as the in-graph path does, then run
+    # the trained-beliefs path with them
+    lab0 = kmeans_predict(groups[0].reshape(-1, 6), centers[0]).reshape(2, 8, 8)
+    lab1 = kmeans_predict(groups[1].reshape(-1, 4), centers[1]).reshape(2, 16, 16)
+    curr = resize_nearest(
+        lab0[:, :, :, None].astype(jnp.float32), (16, 16)
+    )[..., 0]
+    beliefs = [region_beliefs_device(curr, lab1, (cpl[1], cpl[0]))]
+    feats_tr, labels_tr = hfc_predict_from_features(
+        groups, centers, cpl, 16, True, beliefs
+    )
+    np.testing.assert_allclose(np.asarray(feats_auto), np.asarray(feats_tr),
+                               atol=1e-6)
+    for a, b in zip(labels_auto, labels_tr):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
