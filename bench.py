@@ -488,9 +488,20 @@ def main():
                                 "labels_only_img_per_s", 64)):
         jax.clear_caches()  # free the previous method's compiled programs
         try:
-            mb, (mt, _, _) = sweep(method, iters=10, start=start)
+            # car-512 keeps its best program for MFU attribution (is 512²
+            # compute- or layout-bound? — the decomposition PERFORMANCE.md
+            # does for 256²)
+            keep = method == "swav512"
+            mb, (mt, mfn, margs) = sweep(method, iters=10, start=start,
+                                         keep_best=keep)
             extra[key] = round(mt, 1)
             extra[key.replace("_img_per_s", "_batch")] = mb
+            if keep and mfn is not None and peak:
+                mflops = flops_of(mfn, margs)
+                if mflops:
+                    extra["car512_mfu"] = round(mflops * mt / mb / peak, 4)
+                    extra["car512_flops_per_image"] = round(mflops / mb)
+                del mfn, margs
         except Exception:
             extra[key] = None
 
