@@ -288,7 +288,8 @@ def sweep(method="swav", iters=20, start=32, keep_best=False):
     return best_b, (results[best_b], None, None)
 
 
-def pretrain_steps_per_s(method="swav", iters=10, sample_batch=None):
+def pretrain_steps_per_s(method="swav", iters=10, sample_batch=None,
+                         size=256, overrides=None):
     """Steps/s of the production ffhq-256 SSL pretrain update — the
     reference's main `train()` loop body (hfc_with_swav/swav_clustering.py
     :320-460: 2-view perturbed synthesis, pixel gather-project, Sinkhorn,
@@ -312,9 +313,21 @@ def pretrain_steps_per_s(method="swav", iters=10, sample_batch=None):
 
     key = jax.random.PRNGKey(2)
     kg, ks, kt = jax.random.split(key, 3)
-    g = _flagship(kg)
+    g = _flagship(kg, size=size)
     mc = {"truncation": 0.7, "latent_dim": 512}
     mean_w = jnp.zeros((1, 512))
+
+    args_key = "swav_args" if method == "swav" else "simclr_args"
+    sa = dict(seg.hfc_prep_args[args_key])
+    if size != 256:
+        # tiny-shape smoke (tests): hlen must match the smaller pyramid
+        from ganecdotes_tpu.models.stylegan2.generator import channel_map
+
+        cmap = channel_map()
+        sa["hlen"] = sum(
+            cmap[2 ** ((li + 5) // 2)] for li in range(g.meta["num_layers"])
+        )
+    sa.update(overrides or {})
 
     if method == "swav":
         from ganecdotes_tpu.selfsup.swav import (
@@ -322,12 +335,11 @@ def pretrain_steps_per_s(method="swav", iters=10, sample_batch=None):
             make_swav_train_step,
         )
 
-        sa = seg.hfc_prep_args["swav_args"]
         ssl = init_swav_params(ks, sa["hlen"], sa["nclasses"],
                                sa["nprototypes"], sa["projn_nw"])
         optimizer, step = make_swav_train_step(
             g.meta, mc, pa, sa, seg.hfc_prep_args["sinkhorn_args"],
-            mean_w, (256, 256), sample_batch=sample_batch,
+            mean_w, (size, size), sample_batch=sample_batch,
         )
     else:
         from ganecdotes_tpu.selfsup.simclr import (
@@ -335,10 +347,9 @@ def pretrain_steps_per_s(method="swav", iters=10, sample_batch=None):
             make_simclr_train_step,
         )
 
-        sa = seg.hfc_prep_args["simclr_args"]
         ssl = init_simclr_params(ks, sa["hlen"], sa["nclasses"])
         optimizer, step = make_simclr_train_step(
-            g.meta, mc, pa, sa, mean_w, (256, 256),
+            g.meta, mc, pa, sa, mean_w, (size, size),
         )
     opt_state = optimizer.init(ssl)
 

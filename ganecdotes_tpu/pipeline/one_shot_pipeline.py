@@ -236,8 +236,14 @@ class OneShotPipeline:
 
         imgs = []
         for i in range(0, n, MAX_TEST_BATCH):
-            img = self.get_image_from_latent(w[i : i + MAX_TEST_BATCH])
-            imgs.append(np.asarray(img))
+            chunk = w[i : i + MAX_TEST_BATCH]
+            pad = MAX_TEST_BATCH - chunk.shape[0]
+            if pad > 0:  # pad the ragged tail: one compiled variant, not two
+                chunk = jnp.concatenate(
+                    [chunk, jnp.repeat(chunk[-1:], pad, axis=0)], axis=0
+                )
+            img = self.get_image_from_latent(chunk)
+            imgs.append(np.asarray(img)[: MAX_TEST_BATCH - pad])
         imgs = np.concatenate(imgs, axis=0)
         size = self.model_config.image_size
         imgs = np.asarray(resize_nearest(jnp.asarray(imgs), size))

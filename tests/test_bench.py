@@ -79,3 +79,25 @@ def test_bench_sweep_drops_nonbest_executables():
     assert jfn2 is not None and args2 is not None
     # probes in doubling order + midpoint, then ONE rebuild of the winner
     assert calls == [32, 64, 128, 96] * 2 + [64]
+
+
+@pytest.mark.slow
+def test_pretrain_steps_per_s_paths_run_tiny():
+    """The SSL-pretrain bench path (chained fori threading params/opt state
+    through the carry) builds and runs for both methods and for the
+    sample_batch variant — tiny shapes so the TPU bench can't crash on a
+    code-path error after a long relay wait."""
+    import bench
+
+    small = dict(num_patches=2, patch_size=64, nprototypes=32, nclasses=16)
+    sps = bench.pretrain_steps_per_s("swav", iters=2, size=32,
+                                     overrides=small)
+    assert sps > 0
+    sps = bench.pretrain_steps_per_s("swav", iters=2, size=32,
+                                     overrides=small, sample_batch=2)
+    assert sps > 0
+    sps = bench.pretrain_steps_per_s(
+        "simclr", iters=2, size=32,
+        overrides=dict(batch_size=4, patch_size=64, nclasses=16),
+    )
+    assert sps > 0
