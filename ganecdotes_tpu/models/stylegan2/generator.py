@@ -50,6 +50,14 @@ import os as _os
 
 STYLED_CONV_IMPL = _os.environ.get("GANECDOTES_STYLED_CONV_IMPL", "xla")
 
+# Upsampling modulated-conv implementation: 'xla' (conv_transpose + demod +
+# 2-pass blur — three passes over the network's largest tensors) or
+# 'subpixel' (ops/subpixel_upconv.py — the blur composed into the kernel,
+# polyphase-decomposed into ONE 3x3 conv with 4*Cout outputs +
+# depth-to-space; exact, pinned in tests). Default per docs/PERFORMANCE.md;
+# override with GANECDOTES_UP_CONV_IMPL.
+UP_CONV_IMPL = _os.environ.get("GANECDOTES_UP_CONV_IMPL", "xla")
+
 
 def channel_map(channel_multiplier=2, res2chlmap=None):
     """Resolution -> channel width (ref model.py:484-494).
@@ -218,6 +226,18 @@ def _modulated_conv_apply(
     x = x * s[:, None, None, :].astype(x.dtype)
 
     if up:
+        if UP_CONV_IMPL == "subpixel" and kh == 3 and len(blur_kernel) == 4:
+            from ganecdotes_tpu.ops.subpixel_upconv import (
+                upsampled_conv2x_blur,
+            )
+
+            # blur composed into the kernel; demod commutes with the blur
+            # (per-channel scale vs spatial filter) so applying it after
+            # the fused conv is exact
+            out = upsampled_conv2x_blur(x, w, blur_kernel)
+            if demodulate:
+                out = out * demod[:, None, None, :].astype(out.dtype)
+            return out
         out = conv2d_transpose_nhwc(x, w, stride=2)
         if demodulate:
             out = out * demod[:, None, None, :].astype(out.dtype)

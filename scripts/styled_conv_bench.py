@@ -44,6 +44,54 @@ def timed(fn, args, iters=30):
     return (time.perf_counter() - t0) / iters
 
 
+def bench_up():
+    """XLA conv_transpose+blur vs the fused sub-pixel polyphase conv at the
+    ffhq-256 up-conv shapes (input res; output is 2x)."""
+    from ganecdotes_tpu.nn.layers import conv2d_transpose_nhwc
+    from ganecdotes_tpu.ops.subpixel_upconv import upsampled_conv2x_blur
+    from ganecdotes_tpu.ops.upfirdn2d import blur_2d
+
+    dt = jnp.bfloat16
+    print(f"device: {jax.devices()[0].device_kind} — UP-CONV comparison")
+    for B, H, W, Ci, Co in [(32, 32, 32, 512, 512),
+                            (32, 64, 64, 512, 256),
+                            (32, 128, 128, 256, 128)]:
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(B, H, W, Ci), dt)
+        w = jnp.asarray(rng.randn(3, 3, Ci, Co) * 0.05, jnp.float32)
+
+        def xla_path(x, w):
+            y = conv2d_transpose_nhwc(x, w.astype(x.dtype), stride=2)
+            return blur_2d(y, (1, 3, 3, 1), pad=(1, 1), upsample_factor=2)
+
+        flops = 2 * B * (2 * H) * (2 * W) * 9 // 4 * Ci * Co  # useful MACs
+
+        def timed2(fn):
+            @jax.jit
+            def prog(x, w):
+                def body(i, s):
+                    return s + fn(x + i * 1e-9, w).astype(jnp.float32).mean()
+                return jax.lax.fori_loop(0, 30, body, 0.0)
+            float(prog(x, w))
+            t0 = time.perf_counter()
+            float(prog(x, w))
+            return (time.perf_counter() - t0) / 30
+
+        t_x = timed2(xla_path)
+        t_s = timed2(lambda x, w: upsampled_conv2x_blur(x, w))
+        d = jnp.max(jnp.abs(
+            xla_path(x, w).astype(jnp.float32)
+            - upsampled_conv2x_blur(x, w.astype(dt)).astype(jnp.float32)
+        ))
+        verdict = "KEEP" if t_s < t_x else "REJECT"
+        print(
+            f"B{B} {H}x{W}->{2*H}x{2*W} {Ci}->{Co}: "
+            f"xla {t_x*1e3:.3f} ms ({flops/t_x/1e12:.1f} TF/s) | "
+            f"subpixel {t_s*1e3:.3f} ms ({flops/t_s/1e12:.1f} TF/s) | "
+            f"maxdiff {float(d):.4f} | {verdict}"
+        )
+
+
 def main():
     dt = jnp.bfloat16
     print(f"device: {jax.devices()[0].device_kind}")
@@ -83,9 +131,14 @@ def main():
 
 
 if __name__ == "__main__":
+    import sys
+
     from ganecdotes_tpu.runtime.compile_cache import (
         enable_persistent_compilation_cache,
     )
 
     enable_persistent_compilation_cache()
-    main()
+    if "--up" in sys.argv:
+        bench_up()
+    else:
+        main()

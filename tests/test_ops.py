@@ -544,3 +544,50 @@ def test_generator_pallas_styled_conv_impl_parity():
     for a, b in zip(feats_p, feats_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=1e-4)
+
+
+def test_subpixel_upconv_matches_transpose_plus_blur():
+    """upsampled_conv2x_blur (blur composed into the kernel, polyphase
+    single conv + depth-to-space) == conv_transpose(stride2) then
+    blur(pad=(1,1), gain=4), exactly — including odd spatial sizes."""
+    from ganecdotes_tpu.nn.layers import conv2d_transpose_nhwc
+    from ganecdotes_tpu.ops.subpixel_upconv import upsampled_conv2x_blur
+    from ganecdotes_tpu.ops.upfirdn2d import blur_2d
+
+    rng = np.random.RandomState(0)
+    for (B, H, W, Ci, Co) in [(2, 8, 8, 16, 24), (2, 5, 7, 4, 6)]:
+        x = jnp.asarray(rng.randn(B, H, W, Ci), jnp.float32)
+        w = jnp.asarray(rng.randn(3, 3, Ci, Co) * 0.1, jnp.float32)
+        ref = blur_2d(conv2d_transpose_nhwc(x, w, stride=2),
+                      (1, 3, 3, 1), pad=(1, 1), upsample_factor=2)
+        got = upsampled_conv2x_blur(x, w)
+        assert got.shape == ref.shape == (B, 2 * H, 2 * W, Co)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_generator_subpixel_up_conv_impl_parity():
+    """UP_CONV_IMPL='subpixel' swaps every upsampling StyledConv for the
+    fused polyphase conv without changing the synthesis output or the
+    feature pyramid."""
+    from ganecdotes_tpu.models.stylegan2 import generator as G
+
+    params, meta = G.init_generator(jax.random.PRNGKey(0), 32)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 512))
+
+    img_ref, feats_ref = G.generator_forward(
+        params, meta, [z], randomize_noise=False
+    )
+    old = G.UP_CONV_IMPL
+    try:
+        G.UP_CONV_IMPL = "subpixel"
+        img_s, feats_s = G.generator_forward(
+            params, meta, [z], randomize_noise=False
+        )
+    finally:
+        G.UP_CONV_IMPL = old
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_ref),
+                               atol=2e-4, rtol=1e-4)
+    for a, b in zip(feats_s, feats_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-4)
