@@ -160,7 +160,11 @@ class GANBaseModel:
         """Per-epoch LR policy step (ref base_model.py:118-134)."""
         self.epoch += 1
         if hasattr(self.scheduler, "step"):
-            self._lr_mult = self.scheduler.step(metric)
+            # the reference passes self.metric (default 0) to plateau's
+            # step; callers that don't track a metric get the same default
+            self._lr_mult = self.scheduler.step(
+                0.0 if metric is None else metric
+            )
         else:
             self._lr_mult = self.scheduler(self.epoch)
         self.logger.info(f"learning rate mult = {self._lr_mult:.7f}")
