@@ -254,8 +254,11 @@ def _modulated_conv_apply(
 
 
 def _styled_conv_apply(p, x, style_w, noise, up=False, blur_kernel=(1, 3, 3, 1)):
-    if not up and STYLED_CONV_IMPL == "pallas":
-        from ganecdotes_tpu.ops.modulated_conv_pallas import styled_conv3x3
+    if STYLED_CONV_IMPL == "pallas" and (not up or len(blur_kernel) == 4):
+        from ganecdotes_tpu.ops.modulated_conv_pallas import (
+            styled_conv3x3,
+            styled_up_conv3x3,
+        )
 
         pc = p["conv"]
         kh, kw, in_ch, _ = pc["weight"].shape
@@ -264,7 +267,8 @@ def _styled_conv_apply(p, x, style_w, noise, up=False, blur_kernel=(1, 3, 3, 1))
         w = pc["weight"] * scale
         w_sq = jnp.sum(jnp.square(w), axis=(0, 1))
         demod = jax.lax.rsqrt(jnp.square(s) @ w_sq.astype(s.dtype) + 1e-8)
-        return styled_conv3x3(
+        fn = styled_up_conv3x3 if up else styled_conv3x3
+        return fn(
             x, w, s, demod, noise, p["noise_weight"], p["bias"],
             impl="pallas",
         )

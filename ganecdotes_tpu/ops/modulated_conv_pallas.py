@@ -242,3 +242,201 @@ def styled_conv3x3(x, w, s, demod, noise, noise_weight, bias, impl="xla"):
                 x, w, s, demod, noise, noise_weight, bias, th
             )
     return styled_conv3x3_ref(x, w, s, demod, noise, noise_weight, bias)
+
+
+# ---------------------------------------------------------------------------
+# upsampling StyledConv: polyphase matmuls + in-kernel depth-to-space
+# ---------------------------------------------------------------------------
+
+
+def styled_up_conv3x3_ref(x, w, s, demod, noise, noise_weight, bias,
+                          blur_kernel=(1, 3, 3, 1)):
+    """XLA composite of the UP branch via the exact sub-pixel form
+    (ops/subpixel_upconv.py, itself pinned against conv_transpose+blur):
+    modulate -> fused up-conv -> demod -> noise -> bias -> lrelu.
+    noise is on the fine (2H, 2W) grid."""
+    from ganecdotes_tpu.ops.subpixel_upconv import upsampled_conv2x_blur
+
+    xm = x * s[:, None, None, :].astype(x.dtype)
+    out = upsampled_conv2x_blur(xm, w, blur_kernel)
+    out = out * demod[:, None, None, :].astype(out.dtype)
+    out = out + noise_weight.astype(out.dtype) * noise.astype(out.dtype)
+    out = out + bias.astype(out.dtype)
+    return jnp.where(out >= 0, out, 0.2 * out) * jnp.asarray(
+        SQRT2, out.dtype
+    )
+
+
+def _up_kernel(nw_ref, xp_hbm, w_ref, demod_ref, noise_ref, bias_ref,
+               out_ref, x_vmem, sem):
+    """One (batch b, row-tile i, cout-block j) grid step.
+
+    w_ref: (4, 9, Cin, co_blk) VMEM — phase-major polyphase taps from the
+    blur-composed 6x6 kernel.  The four phase accumulators interleave into
+    the fine (2*th, 2*W) tile with lane-preserving stack+reshape merges
+    (the lane dim stays co_blk throughout — no cross-lane relayout), so
+    depth-to-space costs nothing and the epilogue runs on the fine tile in
+    VMEM; the fine activation hits HBM exactly once.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    th2 = out_ref.shape[1]
+    th = th2 // 2
+    wdt = out_ref.shape[2] // 2
+    co = out_ref.shape[3]
+
+    # the x slab only depends on (b, i); j is the innermost grid dim and
+    # scratch persists across grid steps, so fetch once per row tile
+    @pl.when(j == 0)
+    def _():
+        copy = pltpu.make_async_copy(
+            xp_hbm.at[b, pl.ds(i * th, th + 2)], x_vmem, sem
+        )
+        copy.start()
+        copy.wait()
+
+    def phase(ph):
+        acc = jnp.zeros((th * wdt, co), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                xs = x_vmem[dy : dy + th, dx : dx + wdt, :]
+                acc = acc + jnp.dot(
+                    xs.reshape(th * wdt, -1),
+                    w_ref[ph, dy * 3 + dx],
+                    preferred_element_type=jnp.float32,
+                )
+        return acc.reshape(th, wdt, co)
+
+    p00, p01, p10, p11 = phase(0), phase(1), phase(2), phase(3)
+    # fine[2y+a, 2x+c] = phase(a*2+c)[y, x]; stacks merge into sublane
+    # dims only (lane = co unchanged)
+    row_a0 = jnp.stack([p00, p01], axis=2).reshape(th, 2 * wdt, co)
+    row_a1 = jnp.stack([p10, p11], axis=2).reshape(th, 2 * wdt, co)
+    fine = jnp.stack([row_a0, row_a1], axis=1).reshape(th2, 2 * wdt, co)
+
+    out = fine * demod_ref[0].astype(jnp.float32)
+    out = out + nw_ref[0, 0] * noise_ref[0][:, :, None].astype(jnp.float32)
+    out = out + bias_ref[0].astype(jnp.float32)
+    out = jnp.where(out >= 0, out, 0.2 * out) * SQRT2
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _up_pallas_forward(x, w, s, demod, noise, noise_weight, bias, *,
+                       tile_h, co_blk, blur_kernel=(1, 3, 3, 1)):
+    from ganecdotes_tpu.ops.subpixel_upconv import (
+        compose_up_kernel,
+        phase_stack_major,
+    )
+
+    b, h, wdt, cin = x.shape
+    cout = w.shape[3]
+    assert h % tile_h == 0 and cout % co_blk == 0
+
+    xp = jnp.pad(
+        x * s[:, None, None, :].astype(x.dtype),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    ks = phase_stack_major(compose_up_kernel(w, blur_kernel)).astype(x.dtype)
+    ks = ks.reshape(4, 9, cin, cout)
+    nw = jnp.asarray(noise_weight, jnp.float32).reshape(1, 1)
+    noise3 = jnp.broadcast_to(
+        noise.reshape(noise.shape[0], 2 * h, 2 * wdt), (b, 2 * h, 2 * wdt)
+    )
+
+    grid = (b, h // tile_h, cout // co_blk)
+    return pl.pallas_call(
+        _up_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, 2 * h, 2 * wdt, cout), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda bb, ii, jj: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # xp stays in HBM
+            pl.BlockSpec((4, 9, cin, co_blk), lambda bb, ii, jj: (0, 0, 0, jj),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co_blk), lambda bb, ii, jj: (bb, jj),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * tile_h, 2 * wdt),
+                         lambda bb, ii, jj: (bb, ii, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co_blk), lambda bb, ii, jj: (0, jj),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2 * tile_h, 2 * wdt, co_blk),
+            lambda bb, ii, jj: (bb, ii, 0, jj),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2, wdt + 2, cin), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (2 * h) * (2 * wdt) * 9 * cin * cout,
+            bytes_accessed=(
+                xp.size + ks.size + b * 4 * h * wdt * (1 + cout)
+            ) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(nw, xp, ks, demod.reshape(b, cout), noise3, bias.reshape(1, cout))
+
+
+def up_pallas_supported(x_shape, cout, itemsize, vmem_budget=10 * 2**20):
+    """(tile_h, co_blk) for the up kernel, or None. Lane-aligned channels,
+    VMEM fit: weights (4,9,Cin,co_blk) + slab + 4 fp32 phase accumulators +
+    double-buffered fine out blocks."""
+    _, h, wdt, cin = x_shape
+    if cin % 128 or cout % 128:
+        return None
+    if h < 4 or wdt < 4:
+        return None
+    for co_blk in (256, 128):
+        if cout % co_blk:
+            continue
+        for th in (16, 8, 4, 2, 1):
+            if h % th:
+                continue
+            need = (
+                4 * 9 * cin * co_blk * itemsize
+                + (th + 2) * (wdt + 2) * cin * itemsize
+                + 4 * th * wdt * co_blk * 4
+                + 2 * (2 * th) * (2 * wdt) * co_blk * itemsize
+            )
+            if need <= vmem_budget:
+                return th, co_blk
+    return None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _styled_up_conv3x3_pallas(x, w, s, demod, noise, noise_weight, bias,
+                              tile_h, co_blk):
+    return _up_pallas_forward(x, w, s, demod, noise, noise_weight, bias,
+                              tile_h=tile_h, co_blk=co_blk)
+
+
+def _up_fwd(x, w, s, demod, noise, noise_weight, bias, tile_h, co_blk):
+    out = _up_pallas_forward(x, w, s, demod, noise, noise_weight, bias,
+                             tile_h=tile_h, co_blk=co_blk)
+    return out, (x, w, s, demod, noise, noise_weight, bias)
+
+
+def _up_bwd(tile_h, co_blk, res, g):
+    _, vjp = jax.vjp(styled_up_conv3x3_ref, *res)
+    return vjp(g)
+
+
+_styled_up_conv3x3_pallas.defvjp(_up_fwd, _up_bwd)
+
+
+def styled_up_conv3x3(x, w, s, demod, noise, noise_weight, bias,
+                      impl="xla"):
+    """Upsampling StyledConv body (2x). impl: 'xla' (sub-pixel composite) |
+    'pallas' (fused polyphase kernel). Falls back on unsupported shapes."""
+    if impl == "pallas":
+        cfg = up_pallas_supported(x.shape, w.shape[3], x.dtype.itemsize)
+        if cfg is not None:
+            return _styled_up_conv3x3_pallas(
+                x, w, s, demod, noise, noise_weight, bias, *cfg
+            )
+    return styled_up_conv3x3_ref(x, w, s, demod, noise, noise_weight, bias)

@@ -64,6 +64,17 @@ def phase_stack(K):
     return jnp.concatenate(blocks, axis=-1)
 
 
+def phase_stack_major(K):
+    """(6,6,Cin,Cout) composed kernel -> (4,3,3,Cin,Cout): the same phase
+    kernels as ``phase_stack`` but stacked on a leading phase axis
+    (ph = a*2+c) — the layout the Pallas up-kernel holds in VMEM."""
+    blocks = []
+    for a in (0, 1):
+        for c in (0, 1):
+            blocks.append(K[(1 - a) :: 2, (1 - c) :: 2])
+    return jnp.stack(blocks, axis=0)
+
+
 def upsampled_conv2x_blur(x, w, blur_kernel=(1, 3, 3, 1)):
     """conv_transpose(x, w, stride=2) then blur(k, pad=(1,1), gain=4),
     as ONE 'same' 3x3 conv with 4*Cout outputs + depth-to-space.

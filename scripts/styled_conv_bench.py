@@ -45,10 +45,23 @@ def timed(fn, args, iters=30):
 
 
 def bench_up():
-    """XLA conv_transpose+blur vs the fused sub-pixel polyphase conv at the
-    ffhq-256 up-conv shapes (input res; output is 2x)."""
+    """Three-way UP-branch comparison at the ffhq-256 up-conv shapes
+    (input res; output is 2x), full StyledConv semantics (modulate +
+    up-conv + blur + demod + noise + bias + lrelu):
+      xla       — round-3 path: conv_transpose -> demod -> 2-pass blur ->
+                  XLA epilogue fusion
+      subpixel  — blur composed into one polyphase conv + fused
+                  epilogue/depth-to-space pass (ops/subpixel_upconv.py)
+      pallas    — fused kernel: polyphase matmuls + in-VMEM depth-to-space
+                  + epilogue (ops/modulated_conv_pallas.styled_up_conv3x3)
+    """
     from ganecdotes_tpu.nn.layers import conv2d_transpose_nhwc
-    from ganecdotes_tpu.ops.subpixel_upconv import upsampled_conv2x_blur
+    from ganecdotes_tpu.ops.fused_act import fused_leaky_relu
+    from ganecdotes_tpu.ops.modulated_conv_pallas import (
+        styled_up_conv3x3,
+        styled_up_conv3x3_ref,
+        up_pallas_supported,
+    )
     from ganecdotes_tpu.ops.upfirdn2d import blur_2d
 
     dt = jnp.bfloat16
@@ -59,18 +72,29 @@ def bench_up():
         rng = np.random.RandomState(0)
         x = jnp.asarray(rng.randn(B, H, W, Ci), dt)
         w = jnp.asarray(rng.randn(3, 3, Ci, Co) * 0.05, jnp.float32)
+        s = jnp.asarray(rng.rand(B, Ci) + 0.5, jnp.float32)
+        demod = jnp.asarray(rng.rand(B, Co) + 0.5, jnp.float32)
+        noise = jnp.asarray(rng.randn(B, 2 * H, 2 * W, 1), dt)
+        nw = jnp.asarray(0.3, jnp.float32)
+        bias = jnp.asarray(rng.randn(Co) * 0.1, jnp.float32)
 
         def xla_path(x, w):
-            y = conv2d_transpose_nhwc(x, w.astype(x.dtype), stride=2)
-            return blur_2d(y, (1, 3, 3, 1), pad=(1, 1), upsample_factor=2)
+            xm = x * s[:, None, None, :].astype(x.dtype)
+            y = conv2d_transpose_nhwc(xm, w.astype(x.dtype), stride=2)
+            y = y * demod[:, None, None, :].astype(y.dtype)
+            y = blur_2d(y, (1, 3, 3, 1), pad=(1, 1), upsample_factor=2)
+            y = y + nw.astype(y.dtype) * noise.astype(y.dtype)
+            return fused_leaky_relu(y, bias)
 
         flops = 2 * B * (2 * H) * (2 * W) * 9 // 4 * Ci * Co  # useful MACs
 
         def timed2(fn):
             @jax.jit
             def prog(x, w):
-                def body(i, s):
-                    return s + fn(x + i * 1e-9, w).astype(jnp.float32).mean()
+                def body(i, acc):
+                    return acc + fn(x + i * 1e-9, w).astype(
+                        jnp.float32
+                    ).mean()
                 return jax.lax.fori_loop(0, 30, body, 0.0)
             float(prog(x, w))
             t0 = time.perf_counter()
@@ -78,17 +102,23 @@ def bench_up():
             return (time.perf_counter() - t0) / 30
 
         t_x = timed2(xla_path)
-        t_s = timed2(lambda x, w: upsampled_conv2x_blur(x, w))
+        t_s = timed2(lambda x, w: styled_up_conv3x3_ref(
+            x, w, s, demod, noise, nw, bias))
+        t_p = timed2(lambda x, w: styled_up_conv3x3(
+            x, w, s, demod, noise, nw, bias, impl="pallas"))
         d = jnp.max(jnp.abs(
             xla_path(x, w).astype(jnp.float32)
-            - upsampled_conv2x_blur(x, w.astype(dt)).astype(jnp.float32)
+            - styled_up_conv3x3(x, w, s, demod, noise, nw, bias,
+                                impl="pallas").astype(jnp.float32)
         ))
-        verdict = "KEEP" if t_s < t_x else "REJECT"
+        cfg = up_pallas_supported(x.shape, Co, 2)
+        best = min((t_x, "xla"), (t_s, "subpixel"), (t_p, "pallas"))[1]
         print(
-            f"B{B} {H}x{W}->{2*H}x{2*W} {Ci}->{Co}: "
+            f"B{B} {H}x{W}->{2*H}x{2*W} {Ci}->{Co} cfg={cfg}: "
             f"xla {t_x*1e3:.3f} ms ({flops/t_x/1e12:.1f} TF/s) | "
             f"subpixel {t_s*1e3:.3f} ms ({flops/t_s/1e12:.1f} TF/s) | "
-            f"maxdiff {float(d):.4f} | {verdict}"
+            f"pallas {t_p*1e3:.3f} ms ({flops/t_p/1e12:.1f} TF/s) | "
+            f"maxdiff {float(d):.4f} | best={best}"
         )
 
 
