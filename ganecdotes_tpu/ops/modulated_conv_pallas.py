@@ -81,27 +81,52 @@ def _kernel(nw_ref, xp_hbm, w_ref, demod_ref, noise_ref, bias_ref, out_ref,
     """One (batch b, row-tile i) grid step.
 
     xp_hbm : (B, H+2, W+2, Cin) modulated+padded input, stays in HBM;
-             the (th+2)-row halo slab is DMA'd here (BlockSpec partitions
-             cannot overlap, and the halo rows overlap by 2).
+             the (th+2)-row halo slab is DMA'd manually (BlockSpec
+             partitions cannot overlap, and the halo rows overlap by 2)
+             into a DOUBLE-BUFFERED scratch: step g waits on the slab
+             prefetched at step g-1 and immediately starts the fetch for
+             step g+1, so the HBM read rides under the 9 matmuls.
     w_ref  : (9, Cin, Cout) VMEM — the 3x3 taps as matmul weights.
     out_ref: (1, th, W, Cout) VMEM block, auto-pipelined by pallas_call.
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
+    n_i = pl.num_programs(1)
     th = out_ref.shape[1]
     wdt = out_ref.shape[2]
 
-    copy = pltpu.make_async_copy(
-        xp_hbm.at[b, pl.ds(i * th, th + 2)], x_vmem, sem
-    )
-    copy.start()
-    copy.wait()
+    g = b * n_i + i  # flattened step; slot parity survives the batch wrap
+    slot = jax.lax.rem(g, 2)
+    nxt = jax.lax.rem(g + 1, 2)
+
+    def slab_dma(dst_slot, bb, ii):
+        return pltpu.make_async_copy(
+            xp_hbm.at[bb, pl.ds(ii * th, th + 2)], x_vmem.at[dst_slot],
+            sem.at[dst_slot],
+        )
+
+    @pl.when(g == 0)
+    def _():  # first step fetches its own slab
+        slab_dma(slot, b, i).start()
+
+    slab_dma(slot, b, i).wait()
+
+    # prefetch the next step's slab (next row tile, or the next batch's
+    # first tile) while this step computes
+    last = g == pl.num_programs(0) * n_i - 1
+
+    @pl.when(jnp.logical_not(last))
+    def _():
+        wrap = i + 1 == n_i
+        nb = jnp.where(wrap, b + 1, b)
+        ni = jnp.where(wrap, 0, i + 1)
+        slab_dma(nxt, nb, ni).start()
 
     cout = w_ref.shape[2]
     acc = jnp.zeros((th * wdt, cout), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            xs = x_vmem[dy : dy + th, dx : dx + wdt, :]
+            xs = x_vmem[slot, dy : dy + th, dx : dx + wdt, :]
             acc = acc + jnp.dot(
                 xs.reshape(th * wdt, -1),
                 w_ref[dy * 3 + dx],
@@ -160,8 +185,8 @@ def _pallas_forward(x, w, s, demod, noise, noise_weight, bias, *, tile_h):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2, wdt + 2, cin), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, tile_h + 2, wdt + 2, cin), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * wdt * 9 * cin * cout,
@@ -175,13 +200,14 @@ def _pallas_forward(x, w, s, demod, noise, noise_weight, bias, *, tile_h):
 
 def _pick_tile_h(h, wdt, cin, cout, itemsize, vmem_budget=10 * 2**20):
     """Largest power-of-two row tile whose working set fits the budget:
-    halo slab (th+2, W+2, Cin) + fp32 accumulator (th*W, Cout) + out block
-    (th, W, Cout) + weights (9, Cin, Cout), double-buffered blocks."""
+    double-buffered halo slab 2×(th+2, W+2, Cin) + fp32 accumulator
+    (th*W, Cout) + double-buffered out blocks (th, W, Cout) + weights
+    (9, Cin, Cout)."""
     for th in (32, 16, 8, 4, 2, 1):
         if h % th:
             continue
         need = (
-            (th + 2) * (wdt + 2) * cin * itemsize
+            2 * (th + 2) * (wdt + 2) * cin * itemsize
             + th * wdt * cout * 4
             + 2 * th * wdt * cout * itemsize
             + 9 * cin * cout * itemsize
