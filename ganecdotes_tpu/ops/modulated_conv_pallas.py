@@ -28,7 +28,11 @@ The up=True branch keeps the XLA conv_transpose + blur path.
 
 Gradients: jax.custom_vjp whose backward is the XLA composite's VJP — the
 kernel accelerates inference/serving; training steps differentiate through
-the identical-math fallback.
+the identical-math fallback.  NOTE custom_vjp forbids SECOND-order autodiff,
+so keep impl='xla' (the default) for programs that take grad-of-grad through
+the generator (the PPL regularizer, gan/losses.py:71-131); the sub-pixel
+up-conv (ops/subpixel_upconv.py) is plain XLA and differentiable at any
+order — pinned in tests/test_ops.py.
 
 Measured adoption decision (VERDICT r3 task 4): see the table in
 docs/PERFORMANCE.md; `styled_conv3x3(..., impl=...)` defaults to the

@@ -665,3 +665,24 @@ def test_generator_pallas_impl_covers_up_convs_too():
     for a, b in zip(feats_p, feats_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=1e-4)
+
+
+def test_subpixel_upconv_supports_double_grad():
+    """The sub-pixel up path is plain XLA, so PPL-style grad-of-grad through
+    an upsampling generator layer works with UP_CONV_IMPL='subpixel' (the
+    Pallas impl's custom_vjp intentionally forbids second order — its
+    docstring says to keep 'xla' for PPL programs)."""
+    from ganecdotes_tpu.ops.subpixel_upconv import upsampled_conv2x_blur
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 4, 4, 8), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 8, 8) * 0.1, jnp.float32)
+
+    def path_len(x, w):
+        out = upsampled_conv2x_blur(x, w)
+        g = jax.grad(lambda xx: upsampled_conv2x_blur(xx, w).sum())(x)
+        return (g ** 2).sum() + 0 * out.sum()
+
+    gg = jax.grad(path_len, argnums=1)(x, w)  # d(grad-norm)/d(weights)
+    assert np.isfinite(np.asarray(gg)).all()
+    assert float(jnp.abs(gg).max()) > 0
