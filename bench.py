@@ -512,7 +512,12 @@ def main():
                 if mflops:
                     extra["car512_mfu"] = round(mflops * mt / mb / peak, 4)
                     extra["car512_flops_per_image"] = round(mflops / mb)
-                del mfn, margs
+            # drop the kept program's buffers BEFORE the next method sweep
+            # (retained args once skewed in-driver sweeps, see sweep())
+            for leaf in jax.tree.leaves(margs) if margs else []:
+                if hasattr(leaf, "delete"):
+                    leaf.delete()
+            del mfn, margs
         except Exception:
             extra[key] = None
 
