@@ -445,6 +445,29 @@ def finetune_northstar():
     return time.perf_counter() - t0
 
 
+def headline_only():
+    """Quick A/B mode: just the headline sweep + MFU, one JSON line.
+    Use with the impl env flags, e.g.
+    GANECDOTES_UP_CONV_IMPL=subpixel python bench.py --headline"""
+    best_b, (best, jfn, args) = sweep("swav", keep_best=True)
+    flops = flops_of(jfn, args)
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_FLOPS.get(kind)
+    mfu = (flops * best / best_b) / peak if (flops and peak) else None
+    import os
+
+    print(json.dumps({
+        "metric": "headline-only",
+        "value": round(best, 2),
+        "unit": "img/s/chip",
+        "batch": best_b,
+        "mfu": round(mfu, 4) if mfu else None,
+        "styled_conv_impl": os.environ.get(
+            "GANECDOTES_STYLED_CONV_IMPL", "xla"),
+        "up_conv_impl": os.environ.get("GANECDOTES_UP_CONV_IMPL", "xla"),
+    }))
+
+
 def main():
     from ganecdotes_tpu.runtime.compile_cache import (
         enable_persistent_compilation_cache,
@@ -596,7 +619,17 @@ if __name__ == "__main__":
         _emit_error("backend_init", e)
     _timer.cancel()
     try:
-        main()
+        import sys
+
+        if "--headline" in sys.argv:
+            from ganecdotes_tpu.runtime.compile_cache import (
+                enable_persistent_compilation_cache,
+            )
+
+            enable_persistent_compilation_cache()
+            headline_only()
+        else:
+            main()
     except Exception as e:
         _emit_error("bench", e)
 
