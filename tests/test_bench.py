@@ -101,3 +101,24 @@ def test_pretrain_steps_per_s_paths_run_tiny():
         overrides=dict(batch_size=4, patch_size=64, nclasses=16),
     )
     assert sps > 0
+
+
+def test_headline_only_mode(capsys, monkeypatch):
+    """--headline quick A/B mode prints one JSON line with the impl flags."""
+    import json
+
+    def fake_build(b, dtype, method="swav"):
+        p = jnp.ones((4, 4))
+        return jax.jit(lambda p, lat: (p @ p, lat.sum())), (p, jnp.ones((b, 2)))
+
+    monkeypatch.setattr(bench, "build", fake_build)
+    monkeypatch.setattr(bench, "timed",
+                        lambda jfn, args, iters=20: 0.5 / args[-1].shape[0])
+    monkeypatch.setattr(bench, "flops_of", lambda jfn, args: 1e9)
+    monkeypatch.setenv("GANECDOTES_UP_CONV_IMPL", "subpixel")
+    bench.headline_only()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["unit"] == "img/s/chip" and rec["value"] > 0
+    assert rec["up_conv_impl"] == "subpixel"
+    assert rec["styled_conv_impl"] == "xla"
