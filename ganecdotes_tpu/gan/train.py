@@ -574,17 +574,20 @@ class BagGANHQ(GANBaseModel):
             repl, bsh = batch_shardings(mesh)
             self.mesh = mesh
             self._d_step = jax.jit(
-                d_step,
+                d_step, donate_argnums=(0, 1),
                 in_shardings=(repl, repl, repl, bsh, bsh, repl, repl, repl),
             )
             self._r1_step = jax.jit(
-                r1_step, in_shardings=(repl, repl, bsh, repl, repl)
+                r1_step, donate_argnums=(0, 1),
+                in_shardings=(repl, repl, bsh, repl, repl),
             )
             self._g_step = jax.jit(
-                g_step, in_shardings=(repl, repl, repl, bsh, repl, repl, repl)
+                g_step, donate_argnums=(0, 1),
+                in_shardings=(repl, repl, repl, bsh, repl, repl, repl),
             )
             self._ppl_step = jax.jit(
-                ppl_step, in_shardings=(repl, repl, bsh, repl, repl)
+                ppl_step, donate_argnums=(0, 1),
+                in_shardings=(repl, repl, bsh, repl, repl),
             )
             from jax.sharding import NamedSharding, PartitionSpec as _P
 
@@ -599,10 +602,19 @@ class BagGANHQ(GANBaseModel):
             )
         else:
             self.mesh = None
-            self._d_step = jax.jit(d_step)
-            self._r1_step = jax.jit(r1_step)
-            self._g_step = jax.jit(g_step)
-            self._ppl_step = jax.jit(ppl_step)
+            # (params, opt_state) are donated: the updated tree aliases the
+            # old one's buffers in place of a fresh allocation, and Adam's
+            # m/v update writes in place — at 512^2 this trims the live set
+            # by ~3x the net's param bytes exactly at the backward-pass peak
+            # (the wgangp GP grad-of-grad is what pushes 16 GiB HBM,
+            # docs/PERFORMANCE.md). Callers reassign both from the step's
+            # returns; ada_state is NOT donated because optimize_parameters
+            # reads ada_state["p"] before the d_step and feeds it to the
+            # r1/g steps of the same iteration.
+            self._d_step = jax.jit(d_step, donate_argnums=(0, 1))
+            self._r1_step = jax.jit(r1_step, donate_argnums=(0, 1))
+            self._g_step = jax.jit(g_step, donate_argnums=(0, 1))
+            self._ppl_step = jax.jit(ppl_step, donate_argnums=(0, 1))
             self._chunk_step = jax.jit(run_dg_chunk, donate_argnums=(0,))
 
     # ------------------------------------------------------------------

@@ -352,6 +352,15 @@ def test_bagganhq_wgangp_step_with_remat(tmp_path):
     assert gan._d_step._cache_size() == 1, gan._d_step._cache_size()
     assert gan._g_step._cache_size() == 1, gan._g_step._cache_size()
 
+    # donation pin: the step programs donate (params, opt_state) so the
+    # updated trees alias the incoming buffers — the memory headroom the
+    # wgangp 512² peak depends on (docs/PERFORMANCE.md). The CPU backend
+    # honors donation, so a dropped donate_argnums shows up here.
+    pre_leaf = jax.tree.leaves(gan.disc_params)[0]
+    gan.set_input(data_sample={"ct": real * 2 - 1}, iter_no=3, epoch_no=0)
+    gan.optimize_parameters()
+    assert pre_leaf.is_deleted(), "GAN step no longer donates params"
+
 
 def test_wgangp_selective_remat_matches_full_remat(tmp_path):
     """wgangp_remat='gp' (checkpoint only the gradient-penalty branch,
@@ -495,7 +504,10 @@ def test_bagganhq_chunked_training_matches_single_steps(tmp_path):
     gan_b.setup_gan()
 
     # --- tight per-step bound: ONE plain iteration both ways ---------
-    pre = jax.tree.map(lambda x: x, gan_a.generator_params)
+    # host copies, not references: the step programs donate (params,
+    # opt_state), so the pre-step device buffers are invalidated by the
+    # update and must not be read afterwards
+    pre = jax.tree.map(lambda x: np.asarray(x).copy(), gan_a.generator_params)
     gan_a.iter_no = gan_b.iter_no = 1  # not a reg iteration
     gan_a.set_input(data_sample={"ct": batches[0]}, iter_no=1, epoch_no=0)
     gan_a.optimize_parameters()
