@@ -34,9 +34,40 @@ the generator (the PPL regularizer, gan/losses.py:71-131); the sub-pixel
 up-conv (ops/subpixel_upconv.py) is plain XLA and differentiable at any
 order — pinned in tests/test_ops.py.
 
-Measured adoption decision (VERDICT r3 task 4): see the table in
-docs/PERFORMANCE.md; `styled_conv3x3(..., impl=...)` defaults to the
-measured winner per shape via `_dispatch`.
+Measured adoption decision (VERDICT r3 task 4) — REJECTED, measured on
+the real v5e (scripts/styled_conv_bench.py, chained-fori device timing,
+x perturbed per iteration so nothing hoists; bf16):
+
+  non-up shape                 XLA composite      this kernel
+  B32  64x64  512->512         4.119 ms 150 TF/s  5.34 ms 116 TF/s
+  B32 128x128 256->256         4.104 ms 151 TF/s  6.50 ms  95 TF/s
+  B32 256x256 128->128         4.091 ms 151 TF/s 12.71 ms  49 TF/s
+  B8  512x512 128->128         4.245 ms 146 TF/s  9.92 ms  62 TF/s
+
+  up shape (out 2x)            XLA (convT+blur)   subpixel   fusedT   pallas
+  B32 32->64   512->512        2.34 ms 66 TF/s    5.3 ms     4.7 ms   no fit
+  B32 64->128  512->256        3.55 ms 87 TF/s    9.8 ms     7.8 ms   no fit
+  B32 128->256 256->128        4.4-5.5 ms         11.8 ms    8.0 ms   14.2 ms
+
+End-to-end (bench.py --headline, batch 128, ffhq-256):
+impl='pallas' 511 img/s @ 49% MFU vs default 1096 img/s @ 64% MFU.
+
+XLA's conv + epilogue fusion runs at ~76% of v5e bf16 peak on every
+production non-up shape; this kernel's 9 shifted-slab matmuls pay Mosaic
+relayouts for the unaligned dx offsets that outweigh the saved HBM round
+trip. The noise operand is a further structural tax: pixels sit in lanes
+in a (th, wdt) tile but in sublanes in the (th*wdt, Cout) accumulator,
+and Mosaic cannot shape-cast between them, so noise must arrive as a
+(B, H*W, 1) column that XLA materializes lane-padded 128x in HBM
+(`pallas_supported` refuses shapes where that column exceeds 1 GiB). On the up branch XLA's native strided transposed-conv lowering +
+separable blur beats the sub-pixel recomposition (ops/subpixel_upconv.py),
+the blur-composed 6x6 dilated conv ('fusedT'), and this file's polyphase
+kernel — the depth-to-space relayout the recompositions must pay is
+exactly what XLA's own lowering avoids. (A CPU sanity run had the
+subpixel form 6x faster — anti-predictive for TPU; trust only on-chip
+measurements.) Both kernels stay available behind
+GANECDOTES_STYLED_CONV_IMPL / GANECDOTES_UP_CONV_IMPL for future
+hardware, with defaults pinned to 'xla'.
 """
 
 import functools
@@ -137,11 +168,12 @@ def _kernel(nw_ref, xp_hbm, w_ref, demod_ref, noise_ref, bias_ref, out_ref,
                 preferred_element_type=jnp.float32,
             )
 
-    # epilogue, all while the tile is in VMEM/registers
+    # epilogue, all while the tile is in VMEM/registers. noise arrives
+    # pre-flattened as a (th*wdt, 1) column block: Mosaic cannot shape-cast
+    # a (th, wdt) tile into a column (lane->sublane relayout), but a
+    # column-vector lane-broadcast is native.
     out = acc * demod_ref[0].astype(jnp.float32)
-    out = out + nw_ref[0, 0] * noise_ref[0].reshape(th * wdt, 1).astype(
-        jnp.float32
-    )
+    out = out + nw_ref[0, 0] * noise_ref[0].astype(jnp.float32)
     out = out + bias_ref[0].astype(jnp.float32)
     out = jnp.where(out >= 0, out, 0.2 * out) * SQRT2
     out_ref[0] = out.reshape(th, wdt, cout).astype(out_ref.dtype)
@@ -153,18 +185,23 @@ def _pallas_forward(x, w, s, demod, noise, noise_weight, bias, *, tile_h):
     assert h % tile_h == 0, (h, tile_h)
 
     # modulate + pad in one XLA fusion — the same x*s materialization the
-    # composite pays, just padded; the kernel then reads it tile by tile
+    # composite pays, just padded; the kernel then reads it tile by tile.
+    # The padded width is rounded up to the sublane tile (8): Mosaic
+    # requires HBM memref slices to be tile-aligned along the second-minor
+    # dim, and W+2 rarely is. The extra right columns are never read.
+    wpad = -(-(wdt + 2) // 8) * 8
     xp = jnp.pad(
         x * s[:, None, None, :].astype(x.dtype),
-        ((0, 0), (1, 1), (1, 1), (0, 0)),
+        ((0, 0), (1, 1), (1, wpad - wdt - 1), (0, 0)),
     )
     w9 = w.reshape(9, cin, cout).astype(x.dtype)
     nw = jnp.asarray(noise_weight, jnp.float32).reshape(1, 1)
     # fixed noise buffers are (1,H,W,1) broadcast over batch (generator
-    # params['noises']); random noise is (B,H,W,1)
+    # params['noises']); random noise is (B,H,W,1). Flattened to a column
+    # (B, H*W, 1) so the kernel adds it without a shape cast.
     noise3 = jnp.broadcast_to(
-        noise.reshape(noise.shape[0], h, wdt), (b, h, wdt)
-    )
+        noise.reshape(noise.shape[0], h * wdt), (b, h * wdt)
+    ).reshape(b, h * wdt, 1)
 
     grid = (b, h // tile_h)
     return pl.pallas_call(
@@ -177,9 +214,13 @@ def _pallas_forward(x, w, s, demod, noise, noise_weight, bias, *, tile_h):
             pl.BlockSpec(memory_space=pltpu.ANY),  # xp stays in HBM
             pl.BlockSpec((9, cin, cout), lambda bb, ii: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda bb, ii: (bb, 0),
+            # demod rides as (B, 1, Cout) so the per-step block (1, 1, Cout)
+            # keeps its last two dims Mosaic-legal (1 == array dim, Cout
+            # lane-aligned); a (1, Cout) block over (B, Cout) is rejected
+            # by the real-TPU lowering (sublane block 1 ∤ 8).
+            pl.BlockSpec((1, 1, cout), lambda bb, ii: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_h, wdt), lambda bb, ii: (bb, ii, 0),
+            pl.BlockSpec((1, tile_h * wdt, 1), lambda bb, ii: (bb, ii, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda bb, ii: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -189,7 +230,7 @@ def _pallas_forward(x, w, s, demod, noise, noise_weight, bias, *, tile_h):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, tile_h + 2, wdt + 2, cin), x.dtype),
+            pltpu.VMEM((2, tile_h + 2, wpad, cin), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
@@ -199,7 +240,7 @@ def _pallas_forward(x, w, s, demod, noise, noise_weight, bias, *, tile_h):
             ) * x.dtype.itemsize,
             transcendentals=0,
         ),
-    )(nw, xp, w9, demod.reshape(b, cout), noise3, bias.reshape(1, cout))
+    )(nw, xp, w9, demod.reshape(b, 1, cout), noise3, bias.reshape(1, cout))
 
 
 def _pick_tile_h(h, wdt, cin, cout, itemsize, vmem_budget=10 * 2**20):
@@ -211,7 +252,7 @@ def _pick_tile_h(h, wdt, cin, cout, itemsize, vmem_budget=10 * 2**20):
         if h % th:
             continue
         need = (
-            2 * (th + 2) * (wdt + 2) * cin * itemsize
+            2 * (th + 2) * (wdt + 8) * cin * itemsize
             + th * wdt * cout * 4
             + 2 * th * wdt * cout * itemsize
             + 9 * cin * cout * itemsize
@@ -222,11 +263,21 @@ def _pick_tile_h(h, wdt, cin, cout, itemsize, vmem_budget=10 * 2**20):
 
 
 def pallas_supported(x_shape, cout, itemsize):
-    """Shapes the kernel handles: lane-aligned channels, tileable rows."""
-    _, h, wdt, cin = x_shape
+    """Shapes the kernel handles: lane-aligned channels, tileable rows.
+
+    The per-pixel noise must reach the kernel as a (B, H*W, 1) column
+    (pixels in sublanes — a (th, wdt) tile cannot be shape-cast to a
+    column in-kernel), and XLA materializes that column lane-padded
+    128x in HBM: f32 cost = B*H*W*512 bytes, measured 8 GiB at
+    batch 256 @ 256^2. Refuse when the padded column exceeds 1 GiB so
+    the opt-in impl='pallas' flag degrades to the composite instead of
+    OOMing HBM at large batch."""
+    b, h, wdt, cin = x_shape
     if cin % 128 or cout % 128:
         return None
     if h < 8 or wdt < 8:
+        return None
+    if b * h * wdt > (1 << 21):  # padded noise column > 1 GiB fp32
         return None
     return _pick_tile_h(h, wdt, cin, cout, itemsize)
 
@@ -345,8 +396,10 @@ def _up_kernel(nw_ref, xp_hbm, w_ref, demod_ref, noise_ref, bias_ref,
     row_a1 = jnp.stack([p10, p11], axis=2).reshape(th, 2 * wdt, co)
     fine = jnp.stack([row_a0, row_a1], axis=1).reshape(th2, 2 * wdt, co)
 
+    # noise arrives 4-D (1, 2th, 2W, 1): trailing singleton lane dim means
+    # the add is a native lane-broadcast, no shape cast (see _kernel)
     out = fine * demod_ref[0].astype(jnp.float32)
-    out = out + nw_ref[0, 0] * noise_ref[0][:, :, None].astype(jnp.float32)
+    out = out + nw_ref[0, 0] * noise_ref[0].astype(jnp.float32)
     out = out + bias_ref[0].astype(jnp.float32)
     out = jnp.where(out >= 0, out, 0.2 * out) * SQRT2
     out_ref[0] = out.astype(out_ref.dtype)
@@ -363,15 +416,19 @@ def _up_pallas_forward(x, w, s, demod, noise, noise_weight, bias, *,
     cout = w.shape[3]
     assert h % tile_h == 0 and cout % co_blk == 0
 
+    # width padded to the sublane tile (8) for DMA slice alignment, as in
+    # _pallas_forward; extra right columns are never read
+    wpad = -(-(wdt + 2) // 8) * 8
     xp = jnp.pad(
         x * s[:, None, None, :].astype(x.dtype),
-        ((0, 0), (1, 1), (1, 1), (0, 0)),
+        ((0, 0), (1, 1), (1, wpad - wdt - 1), (0, 0)),
     )
     ks = phase_stack_major(compose_up_kernel(w, blur_kernel)).astype(x.dtype)
     ks = ks.reshape(4, 9, cin, cout)
     nw = jnp.asarray(noise_weight, jnp.float32).reshape(1, 1)
     noise3 = jnp.broadcast_to(
-        noise.reshape(noise.shape[0], 2 * h, 2 * wdt), (b, 2 * h, 2 * wdt)
+        noise.reshape(noise.shape[0], 2 * h, 2 * wdt, 1),
+        (b, 2 * h, 2 * wdt, 1),
     )
 
     grid = (b, h // tile_h, cout // co_blk)
@@ -385,10 +442,12 @@ def _up_pallas_forward(x, w, s, demod, noise, noise_weight, bias, *,
             pl.BlockSpec(memory_space=pltpu.ANY),  # xp stays in HBM
             pl.BlockSpec((4, 9, cin, co_blk), lambda bb, ii, jj: (0, 0, 0, jj),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co_blk), lambda bb, ii, jj: (bb, jj),
+            # (B, 1, Cout) for the same Mosaic block-shape rule as the
+            # non-up kernel's demod spec
+            pl.BlockSpec((1, 1, co_blk), lambda bb, ii, jj: (bb, 0, jj),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * tile_h, 2 * wdt),
-                         lambda bb, ii, jj: (bb, ii, 0),
+            pl.BlockSpec((1, 2 * tile_h, 2 * wdt, 1),
+                         lambda bb, ii, jj: (bb, ii, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, co_blk), lambda bb, ii, jj: (0, jj),
                          memory_space=pltpu.VMEM),
@@ -399,7 +458,7 @@ def _up_pallas_forward(x, w, s, demod, noise, noise_weight, bias, *,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2, wdt + 2, cin), x.dtype),
+            pltpu.VMEM((tile_h + 2, wpad, cin), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
@@ -409,17 +468,26 @@ def _up_pallas_forward(x, w, s, demod, noise, noise_weight, bias, *,
             ) * x.dtype.itemsize,
             transcendentals=0,
         ),
-    )(nw, xp, ks, demod.reshape(b, cout), noise3, bias.reshape(1, cout))
+    )(nw, xp, ks, demod.reshape(b, 1, cout), noise3, bias.reshape(1, cout))
 
 
-def up_pallas_supported(x_shape, cout, itemsize, vmem_budget=10 * 2**20):
+def up_pallas_supported(x_shape, cout, itemsize, vmem_budget=9 * 2**20):
     """(tile_h, co_blk) for the up kernel, or None. Lane-aligned channels,
-    VMEM fit: weights (4,9,Cin,co_blk) + slab + 4 fp32 phase accumulators +
-    double-buffered fine out blocks."""
-    _, h, wdt, cin = x_shape
+    VMEM fit. Every auto-pipelined block (weights, demod, noise, bias, out)
+    is DOUBLE-buffered by pallas_call, and Mosaic's kernel stack (the 36
+    unrolled matmuls' shifted-slice operands) costs several MiB beyond the
+    block model — measured on v5e: an 18.7 MiB scoped allocation against
+    the 16 MiB limit at (32,32,32,512)->512 with a 12.3 MiB block model.
+    The 9 MiB budget keeps the modeled blocks + unmodeled stack under the
+    limit; 512-channel up shapes get no fitting tiling and fall back."""
+    b, h, wdt, cin = x_shape
     if cin % 128 or cout % 128:
         return None
     if h < 4 or wdt < 4:
+        return None
+    if b * (2 * h) * (2 * wdt) > (1 << 21):
+        # fine-grid noise column (B,2H,2W,1) lane-pads 128x in HBM, as in
+        # pallas_supported — refuse rather than OOM at large batch
         return None
     for co_blk in (256, 128):
         if cout % co_blk:
@@ -428,10 +496,11 @@ def up_pallas_supported(x_shape, cout, itemsize, vmem_budget=10 * 2**20):
             if h % th:
                 continue
             need = (
-                4 * 9 * cin * co_blk * itemsize
-                + (th + 2) * (wdt + 2) * cin * itemsize
+                2 * 4 * 9 * cin * co_blk * itemsize
+                + (th + 2) * (wdt + 8) * cin * itemsize
                 + 4 * th * wdt * co_blk * 4
                 + 2 * (2 * th) * (2 * wdt) * co_blk * itemsize
+                + 2 * (2 * th) * (2 * wdt) * itemsize
             )
             if need <= vmem_budget:
                 return th, co_blk

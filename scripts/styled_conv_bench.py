@@ -33,7 +33,11 @@ def timed(fn, args, iters=30):
     @jax.jit
     def prog(args):
         def body(i, s):
-            out = fn(*args[:4], args[4] + i * 1e-9, *args[5:])
+            # perturb x (NOT a late arg like noise): with x loop-invariant
+            # XLA hoists the whole modulated conv out of the fori loop and
+            # the composite times only its epilogue (observed: 531 "TF/s",
+            # 2.7x over v5e bf16 peak)
+            out = fn(args[0] + i * 1e-9, *args[1:])
             return s + out.astype(jnp.float32).mean()
 
         return jax.lax.fori_loop(0, iters, body, 0.0)
@@ -86,6 +90,22 @@ def bench_up():
             y = y + nw.astype(y.dtype) * noise.astype(y.dtype)
             return fused_leaky_relu(y, bias)
 
+        def fusedT_path(x, w):
+            # blur pre-composed into ONE 6x6 transposed conv
+            # (lhs_dilation=2, pad 3): no blur passes, no explicit
+            # depth-to-space — XLA picks the lowering for the dilated form
+            from ganecdotes_tpu.ops.subpixel_upconv import compose_up_kernel
+
+            xm = x * s[:, None, None, :].astype(x.dtype)
+            K = compose_up_kernel(w).astype(x.dtype)
+            y = jax.lax.conv_general_dilated(
+                xm, K, (1, 1), ((3, 3), (3, 3)), lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = y * demod[:, None, None, :].astype(y.dtype)
+            y = y + nw.astype(y.dtype) * noise.astype(y.dtype)
+            return fused_leaky_relu(y, bias)
+
         flops = 2 * B * (2 * H) * (2 * W) * 9 // 4 * Ci * Co  # useful MACs
 
         def timed2(fn):
@@ -104,21 +124,33 @@ def bench_up():
         t_x = timed2(xla_path)
         t_s = timed2(lambda x, w: styled_up_conv3x3_ref(
             x, w, s, demod, noise, nw, bias))
-        t_p = timed2(lambda x, w: styled_up_conv3x3(
-            x, w, s, demod, noise, nw, bias, impl="pallas"))
-        d = jnp.max(jnp.abs(
+        t_f = timed2(fusedT_path)
+        d_f = jnp.max(jnp.abs(
             xla_path(x, w).astype(jnp.float32)
-            - styled_up_conv3x3(x, w, s, demod, noise, nw, bias,
-                                impl="pallas").astype(jnp.float32)
-        ))
+            - fusedT_path(x, w).astype(jnp.float32)))
         cfg = up_pallas_supported(x.shape, Co, 2)
-        best = min((t_x, "xla"), (t_s, "subpixel"), (t_p, "pallas"))[1]
+        candidates = [(t_x, "xla"), (t_s, "subpixel"), (t_f, "fusedT")]
+        if cfg is not None:
+            t_p = timed2(lambda x, w: styled_up_conv3x3(
+                x, w, s, demod, noise, nw, bias, impl="pallas"))
+            d = jnp.max(jnp.abs(
+                xla_path(x, w).astype(jnp.float32)
+                - styled_up_conv3x3(x, w, s, demod, noise, nw, bias,
+                                    impl="pallas").astype(jnp.float32)
+            ))
+            candidates.append((t_p, "pallas"))
+            pal = (f"pallas {t_p*1e3:.3f} ms ({flops/t_p/1e12:.1f} TF/s) "
+                   f"maxdiff {float(d):.4f}")
+        else:
+            pal = "pallas n/a (no VMEM-fitting tiling)"
+        best = min(candidates)[1]
         print(
             f"B{B} {H}x{W}->{2*H}x{2*W} {Ci}->{Co} cfg={cfg}: "
             f"xla {t_x*1e3:.3f} ms ({flops/t_x/1e12:.1f} TF/s) | "
             f"subpixel {t_s*1e3:.3f} ms ({flops/t_s/1e12:.1f} TF/s) | "
-            f"pallas {t_p*1e3:.3f} ms ({flops/t_p/1e12:.1f} TF/s) | "
-            f"maxdiff {float(d):.4f} | best={best}"
+            f"fusedT {t_f*1e3:.3f} ms ({flops/t_f/1e12:.1f} TF/s) "
+            f"maxdiff {float(d_f):.4f} | "
+            f"{pal} | best={best}"
         )
 
 
@@ -161,8 +193,11 @@ def main():
 
 
 if __name__ == "__main__":
+    import os
     import sys
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     from ganecdotes_tpu.runtime.compile_cache import (
         enable_persistent_compilation_cache,
     )

@@ -10,6 +10,10 @@ Note the semantics change: n>1 averages the loss over n independent samples
 per LARS update (same as the multi-chip data-parallel path), which alters
 the effective optimization trajectory vs the reference's budget — adopt
 only as an opt-in (swav_args['sample_batch']), never silently.
+
+Measured on the v5e (2026-08-18): n=1 1.63 samples/s, n=2 0.83 samples/s
+(0.51x), n=4 HBM OOM (20.84 GiB of 15.75) — REJECTED for single chip;
+see docs/PERFORMANCE.md. sample_batch stays the multi-chip mechanism.
 """
 
 import time

@@ -12,6 +12,10 @@ wgangp_remat in ('all', 'gp') at the production pidray shape (256², batch
 Decision rule (VERDICT r3 task 7): adopt 'gp' as the default only if its
 peak stays ≤13 GiB AND the iteration gets faster than the ~1.1 s/iter the
 blanket remat costs. Results go to docs/PERFORMANCE.md.
+
+Measured on the v5e (2026-08-18): 'all' 11.77 GiB temp (12.22 incl. args),
+'gp' 14.40 GiB temp (14.85 incl. args) — over the 13 GiB budget, timing
+leg skipped per the rule. 'all' stays the default; see docs/PERFORMANCE.md.
 """
 
 import time
