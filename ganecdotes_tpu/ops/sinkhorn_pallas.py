@@ -1,0 +1,245 @@
+"""Streaming log-domain Sinkhorn-Knopp potential updates (Pallas, TPU).
+
+The SwAV trainer runs sinkhorn_knopp on a (20000, 5000) fp32 score matrix
+10 times per sample x 2 views x 5 patches — at the production ffhq-256
+config it is 94% of the pretrain step (profiled 448.7 of 476.4 ms,
+scripts/swav_step_profile.py, docs/PERFORMANCE.md). The computation is
+pure HBM streaming: each half-iteration is one logsumexp reduction over
+the 400 MB matrix. `jnp`'s logsumexp costs two passes per reduction (amax,
+then exp-sum), and the array-free potentials rewrite of the iteration
+still pays 4 read passes per iteration. This kernel computes each
+reduction in ONE pass with a flash-attention-style ONLINE max:
+
+    m_new = max(m, max(tile));  s = s * exp(m - m_new) + sum(exp(tile - m_new))
+
+so a full 10-iteration sinkhorn costs 20 streaming reads of the score
+matrix — the information-theoretic minimum for Gauss–Seidel updates
+(each update's reduction must see every element, and the two update
+directions cannot share a pass).
+
+Two exact algebraic eliminations (derived in swav.sinkhorn_knopp's
+docstring notation, pinned by tests/test_ops.py):
+
+  * The reference's global pre-normalization log_q -= lse(log_q) shifts
+    every iterate by a constant that cancels in the final per-pixel
+    renormalization — skipped entirely (saves a full pass + a 400 MB
+    materialization of scores/eps).
+  * v factors out of both its own update and the final renormalization:
+    t_b = lse_k(base + u + v) = v_b + lse_k(base + u), and the last
+    v-update computed exactly v = log_c - lse_k(base + u), so the final
+    codes are q = exp(base + u - (log_c - v_last)) — one fused XLA
+    elementwise over the ORIGINAL (unpadded) scores, no extra kernel.
+
+Layout notes (the Mosaic rules measured in ops/modulated_conv_pallas.py):
+K is padded to a lane multiple (128) with -1e30 scores and -3e32 log_r so
+padded prototypes contribute exp(-huge) = 0 everywhere while keeping all
+arithmetic finite (true -inf turns exp(-inf - -inf) into NaN); per-pixel
+vectors ride as (B, 1) columns (lane-broadcast native), per-prototype
+vectors as (1, K) rows (sublane-broadcast native).
+
+Reference parity: /root/reference/hfc_with_swav/swav_clustering.py:509-544
+(distributed_sinkhorn); same fixed point as swav.sinkhorn_knopp's jnp
+potentials iteration (parity-tested; max |Δq| observed 3.1e-5 interpret,
+1.1e-4 on the real v5e at (8000, 2000) eps=0.05 — online-max vs two-pass
+lse reassociation on codes in [0, 1]).
+
+Measured (v5e, production (20000, 5000) fp32, 10 iters, chained-fori +
+value readback): old jnp array iteration 44.9 ms → jnp potentials
+29.9 ms → this kernel 18.8 ms per sinkhorn call (425 GB/s effective on
+the 20-pass minimum). 10 calls/step puts in-step sinkhorn at ~188 ms of
+the profiled 476 ms SwAV pretrain step (was 448.7).
+"""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INIT = -3e38  # online-max init: below any finite f32 input
+_PAD_SCORE = -1e30  # padded-prototype score: exp(pad/eps - m) == 0
+_PAD_LOGR = -3e32  # keeps u_pad hugely negative after the -m-log(s) shift
+
+
+def _u_kernel(x_ref, v_ref, logr_ref, u_ref, m_ref, s_ref, *, inv_eps, nb):
+    """u_k = log_r_k - lse_b(x_bk/eps + v_b); streams over b-tiles."""
+    bt = pl.program_id(1)
+
+    @pl.when(bt == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INIT)
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    z = x_ref[...].astype(jnp.float32) * inv_eps + v_ref[...].astype(
+        jnp.float32
+    )  # (tb, tk) + (tb, 1) lane-broadcast
+    bm = jnp.max(z, axis=0, keepdims=True)  # (1, tk)
+    m_old = m_ref[...]
+    m_new = jnp.maximum(m_old, bm)
+    s_ref[...] = s_ref[...] * jnp.exp(m_old - m_new) + jnp.sum(
+        jnp.exp(z - m_new), axis=0, keepdims=True
+    )
+    m_ref[...] = m_new
+
+    @pl.when(bt == nb - 1)
+    def _():
+        u_ref[...] = logr_ref[...] - (m_ref[...] + jnp.log(s_ref[...]))
+
+
+def _t_kernel(x_ref, u_ref, t_ref, m_ref, s_ref, *, inv_eps, nk):
+    """t_b = lse_k(x_bk/eps + u_k); streams over k-tiles (v = log_c - t)."""
+    kt = pl.program_id(1)
+
+    @pl.when(kt == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INIT)
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    z = x_ref[...].astype(jnp.float32) * inv_eps + u_ref[...].astype(
+        jnp.float32
+    )  # (tb, tk) + (1, tk) sublane-broadcast
+    bm = jnp.max(z, axis=1, keepdims=True)  # (tb, 1)
+    m_old = m_ref[...]
+    m_new = jnp.maximum(m_old, bm)
+    s_ref[...] = s_ref[...] * jnp.exp(m_old - m_new) + jnp.sum(
+        jnp.exp(z - m_new), axis=1, keepdims=True
+    )
+    m_ref[...] = m_new
+
+    @pl.when(kt == nk - 1)
+    def _():
+        t_ref[...] = m_ref[...] + jnp.log(s_ref[...])
+
+
+def _tiles(n, cap):
+    """Largest divisor of n that is a multiple of 8 and <= cap, or None."""
+    for t in range(min(cap, n), 7, -8):
+        if n % t == 0:
+            return t
+    return None
+
+
+def sinkhorn_supported(b, k, vmem_budget=9 * 2**20):
+    """(tile_b, tile_k, k_padded) when the kernels can run, else None.
+
+    Prefers WHOLE-ROW blocks (tile_k == k_padded): each double-buffered
+    block is then one fully contiguous HBM slab, vs 4 KB strided runs for
+    partial-row tiles — measured 478 GB/s strided vs ~700 GB/s contiguous
+    on v5e at the production (20000, 5000).
+    """
+    kp = -(-k // 128) * 128
+    tb_cap = vmem_budget // (2 * kp * 4)
+    tb = _tiles(b, min(tb_cap, 2048))
+    if tb is not None:
+        return tb, kp, kp
+    # rows too wide for VMEM: fall back to strided k-tiles
+    tk = next((t for t in (1024, 512, 256, 128) if kp % t == 0), None)
+    if tk is None:
+        return None
+    for cap in (1024, 512, 256):
+        tb = _tiles(b, cap)
+        if tb is not None and 2 * tb * tk * 4 <= vmem_budget:
+            return tb, tk, kp
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("niters", "eps", "tiles"))
+def _sinkhorn_pallas(scores, r, c, *, niters, eps, tiles):
+    b, k = scores.shape
+    tb, tk, kp = tiles
+    inv_eps = 1.0 / eps
+    interpret = jax.default_backend() != "tpu"
+
+    xp = jnp.pad(
+        scores.astype(jnp.float32), ((0, 0), (0, kp - k)),
+        constant_values=_PAD_SCORE,
+    )
+    log_r = jnp.pad(
+        jnp.log(r.astype(jnp.float32)), (0, kp - k),
+        constant_values=_PAD_LOGR,
+    ).reshape(1, kp)
+    log_c = jnp.log(c.astype(jnp.float32)).reshape(b, 1)
+
+    nb, nk = b // tb, kp // tk
+
+    u_update = pl.pallas_call(
+        functools.partial(_u_kernel, inv_eps=inv_eps, nb=nb),
+        grid=(nk, nb),
+        in_specs=[
+            pl.BlockSpec((tb, tk), lambda kt, bt: (bt, kt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda kt, bt: (bt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk), lambda kt, bt: (0, kt),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((1, kp), jnp.float32),
+        out_specs=pl.BlockSpec((1, tk), lambda kt, bt: (0, kt),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, tk), jnp.float32),
+            pltpu.VMEM((1, tk), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * b * kp, transcendentals=b * kp,
+            bytes_accessed=(b * kp + b + 2 * kp) * 4,
+        ),
+        interpret=interpret,
+    )
+
+    t_update = pl.pallas_call(
+        functools.partial(_t_kernel, inv_eps=inv_eps, nk=nk),
+        grid=(nb, nk),
+        in_specs=[
+            pl.BlockSpec((tb, tk), lambda bt, kt: (bt, kt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk), lambda bt, kt: (0, kt),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        out_specs=pl.BlockSpec((tb, 1), lambda bt, kt: (bt, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tb, 1), jnp.float32),
+            pltpu.VMEM((tb, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * b * kp, transcendentals=b * kp,
+            bytes_accessed=(b * kp + b + kp) * 4,
+        ),
+        interpret=interpret,
+    )
+
+    def body(_, uv):
+        _, v = uv
+        u = u_update(xp, v, log_r)
+        v = log_c - t_update(xp, u)
+        return (u, v)
+
+    u0 = jnp.zeros((1, kp), jnp.float32)
+    v0 = jnp.zeros((b, 1), jnp.float32)
+    u, v = jax.lax.fori_loop(0, niters, body, (u0, v0))
+
+    # final renorm: q = exp(base + u - lse_k(base + u)); the last v-update
+    # already computed lse_k(base + u) = log_c - v, so this is one fused
+    # XLA elementwise over the ORIGINAL scores (padded columns never read)
+    t_fin = log_c - v  # (b, 1)
+    return jnp.exp(scores.astype(jnp.float32) * inv_eps + u[:, :k] - t_fin)
+
+
+def sinkhorn_knopp_pallas(scores, niters, eps, r, c):
+    """Drop-in for swav.sinkhorn_knopp: codes (B, K) from scores (B, K)."""
+    tiles = sinkhorn_supported(*scores.shape)
+    if tiles is None:
+        raise ValueError(
+            f"no Mosaic-legal tiling for sinkhorn at {scores.shape}"
+        )
+    return _sinkhorn_pallas(scores, r, c, niters=int(niters),
+                            eps=float(eps), tiles=tiles)
+
+
+def sinkhorn_impl_flag():
+    """'auto' (default) | 'jnp' | 'pallas' via GANECDOTES_SINKHORN_IMPL."""
+    return os.environ.get("GANECDOTES_SINKHORN_IMPL", "auto")

@@ -23,10 +23,16 @@ import time
 def main(out_dir):
     from ganecdotes_tpu.pipeline.one_shot_pipeline import OneShotPipeline
 
+    t0 = time.perf_counter()
     pipe = OneShotPipeline(
         out_dir=out_dir, model="ffhq-256", segmentor="hfc_with_swav",
         num_test_samples=2,
     )
+    # the constructor holds the jitted generator/segmentor init compiles —
+    # on a cold cache this is where the relay compile time lands (measured
+    # 503 s cold vs ~30 s warm, round 4), so time it explicitly
+    print(f"pipeline constructor: {time.perf_counter() - t0:.1f} s",
+          flush=True)
     pipe.seg_config.train_hfc = True
     pipe.seg_config.hfc_prep_args["train"] = True
     pipe.seg_config.hfc_prep_args["swav_args"]["num_epochs"] = 1

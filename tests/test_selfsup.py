@@ -104,6 +104,77 @@ def test_sinkhorn_extreme_scores_no_overflow():
     assert np.isfinite(np.asarray(q)).all()
 
 
+def test_sinkhorn_potentials_match_direct_iteration():
+    # the shipped sinkhorn iterates (u, v) potentials; pin it against the
+    # plain log_q array iteration it replaced (identical trajectory up to
+    # float reassociation — see sinkhorn_knopp docstring)
+    from jax.scipy.special import logsumexp
+
+    rs = np.random.RandomState(3)
+    scores = jnp.asarray(rs.randn(40, 24) * 1.0)
+    r = jnp.asarray(np.abs(rs.rand(24)) + 0.1)
+    r = r / r.sum()
+    c = jnp.ones((40,)) / 40
+    for niters, eps in ((1, 0.5), (3, 0.05), (10, 0.005)):
+        log_q = (scores / eps).T
+        log_q = log_q - logsumexp(log_q)
+        for _ in range(niters):
+            log_q = log_q + (jnp.log(r) - logsumexp(log_q, axis=1))[:, None]
+            log_q = log_q + (jnp.log(c) - logsumexp(log_q, axis=0))[None, :]
+        want = jnp.exp(log_q - logsumexp(log_q, axis=0, keepdims=True)).T
+        got = sinkhorn_knopp(scores, niters, eps, r, c)
+        # eps=0.005 puts logits at +-200/eps scale where f32 reassociation
+        # between the two (algebraically identical) forms is visible in the
+        # near-one-hot codes — 1e-4 on q in [0, 1] is the honest tolerance
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4,
+            err_msg=f"niters={niters} eps={eps}",
+        )
+
+
+def test_sinkhorn_pallas_parity():
+    # the TPU streaming kernel (interpret mode here) must match the jnp
+    # potentials iteration, incl. the production-extreme eps=0.005 and a
+    # K that needs lane padding (136 -> 256)
+    from ganecdotes_tpu.ops.sinkhorn_pallas import (
+        sinkhorn_knopp_pallas,
+        sinkhorn_supported,
+    )
+
+    rs = np.random.RandomState(11)
+    for b, k, niters, eps in ((160, 136, 3, 0.05), (64, 128, 10, 0.005)):
+        assert sinkhorn_supported(b, k) is not None
+        scores = jnp.asarray(rs.randn(b, k).astype(np.float32))
+        r = jnp.asarray(np.abs(rs.rand(k)).astype(np.float32) + 0.1)
+        r = r / r.sum()
+        c = jnp.ones((b,), jnp.float32) / b
+        want = sinkhorn_knopp(scores, niters, eps, r, c)
+        got = sinkhorn_knopp_pallas(scores, niters, eps, r, c)
+        assert np.isfinite(np.asarray(got)).all()
+        # online-max vs two-pass logsumexp reassociation at eps=0.005
+        # logit scale: 1e-4 on codes in [0, 1] (observed max 3.1e-5)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-3,
+            err_msg=f"b={b} k={k} eps={eps}",
+        )
+
+
+def test_sinkhorn_pallas_vmap_parity():
+    # the sample_batch path vmaps sinkhorn over samples; the kernel must
+    # batch correctly (pallas prepends a grid dim — program_id use inside
+    # the kernel must stay on the logical grid)
+    from ganecdotes_tpu.ops.sinkhorn_pallas import sinkhorn_knopp_pallas
+
+    rs = np.random.RandomState(12)
+    scores = jnp.asarray(rs.randn(3, 64, 128).astype(np.float32))
+    r = jnp.ones((128,), jnp.float32) / 128
+    c = jnp.ones((64,), jnp.float32) / 64
+    want = jnp.stack([sinkhorn_knopp_pallas(s, 4, 0.05, r, c)
+                      for s in scores])
+    got = jax.vmap(lambda s: sinkhorn_knopp_pallas(s, 4, 0.05, r, c))(scores)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
 def test_swapped_loss_matches_torch_formula():
     torch = pytest.importorskip("torch")
     import torch.nn.functional as F
