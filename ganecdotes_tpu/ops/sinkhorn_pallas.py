@@ -114,8 +114,15 @@ def _t_kernel(x_ref, u_ref, t_ref, m_ref, s_ref, *, inv_eps, nk):
 
 
 def _tiles(n, cap):
-    """Largest divisor of n that is a multiple of 8 and <= cap, or None."""
-    for t in range(min(cap, n), 7, -8):
+    """Largest divisor of n that is a multiple of 8 and <= cap, or None.
+
+    The start must itself be rounded DOWN to a multiple of 8: stepping -8
+    from a non-multiple start yields no multiples of 8 at all, and Mosaic
+    rejects non-8-divisible second-minor block dims at lowering time —
+    one of the rules interpret mode does not check (caught on the real
+    v5e at the production K=8000 → cap 146 → tb=50).
+    """
+    for t in range(min(cap, n) // 8 * 8, 7, -8):
         if n % t == 0:
             return t
     return None

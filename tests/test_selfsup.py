@@ -159,6 +159,28 @@ def test_sinkhorn_pallas_parity():
         )
 
 
+def test_sinkhorn_tiling_mosaic_legal():
+    # Mosaic requires block dims divisible by (8, 128) (or full-array);
+    # interpret mode does NOT check this — the real v5e rejected tb=50
+    # at the production K=8000 (range(cap, 7, -8) from a non-multiple-of-8
+    # cap yields no multiples of 8). Pin legality over the config space:
+    # every shipped segmentor config's (patch_size, nprototypes) plus a
+    # divisor-hostile sweep.
+    from ganecdotes_tpu.ops.sinkhorn_pallas import sinkhorn_supported
+
+    shapes = [(20000, 8000), (20000, 5000), (20000, 4000),
+              (16384, 3000), (24000, 10000), (4096, 512), (1 << 22, 128)]
+    for b, k in shapes:
+        tiles = sinkhorn_supported(b, k)
+        assert tiles is not None, (b, k)
+        tb, tk, kp = tiles
+        assert kp % 128 == 0 and kp >= k
+        assert b % tb == 0 and kp % tk == 0
+        assert tb % 8 == 0, (b, k, tiles)
+        assert tk % 128 == 0, (b, k, tiles)
+        assert 2 * tb * tk * 4 <= 9 * 2**20, (b, k, tiles)
+
+
 def test_sinkhorn_pallas_vmap_parity():
     # the sample_batch path vmaps sinkhorn over samples; the kernel must
     # batch correctly (pallas prepends a grid dim — program_id use inside
