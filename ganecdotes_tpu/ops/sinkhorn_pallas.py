@@ -1,9 +1,9 @@
 """Streaming log-domain Sinkhorn-Knopp potential updates (Pallas, TPU).
 
-The SwAV trainer runs sinkhorn_knopp on a (20000, 5000) fp32 score matrix
-10 times per sample x 2 views x 5 patches — at the production ffhq-256
-config it is 94% of the pretrain step (profiled 448.7 of 476.4 ms,
-scripts/swav_step_profile.py, docs/PERFORMANCE.md). The computation is
+The SwAV trainer runs sinkhorn_knopp on a (20000, nprototypes) fp32
+score matrix 10 times per sample (2 views x 5 patches) — at the generic
+config (K=8000) it was 94% of the pretrain step (profiled 448.7 of
+476.4 ms, scripts/swav_step_profile.py, docs/PERFORMANCE.md). The computation is
 pure HBM streaming: each half-iteration is one logsumexp reduction over
 the 400 MB matrix. `jnp`'s logsumexp costs two passes per reduction (amax,
 then exp-sum), and the array-free potentials rewrite of the iteration
@@ -43,11 +43,21 @@ potentials iteration (parity-tested; max |Δq| observed 3.1e-5 interpret,
 1.1e-4 on the real v5e at (8000, 2000) eps=0.05 — online-max vs two-pass
 lse reassociation on codes in [0, 1]).
 
-Measured (v5e, production (20000, 5000) fp32, 10 iters, chained-fori +
-value readback): old jnp array iteration 44.9 ms → jnp potentials
-29.9 ms → this kernel 18.8 ms per sinkhorn call (425 GB/s effective on
-the 20-pass minimum). 10 calls/step puts in-step sinkhorn at ~188 ms of
-the profiled 476 ms SwAV pretrain step (was 448.7).
+Measured (v5e, fp32, 10 iters, chained-fori + value readback), per
+sinkhorn call: ffhq config (20000, 5000): jnp potentials 29.9 ms →
+kernel 18.8 ms; generic config (20000, 8000): old array iteration
+44.9 ms → potentials 45.2 ms → kernel 27.0 ms (478 GB/s effective on
+the 20-pass minimum). End-to-end the generic-config pretrain FULL STEP
+drops 476.4 → 309.4 ms (scripts/swav_step_profile.py, 1.54×).
+
+Why not fuse both updates into one pass per iteration (whole-row tiles
+make v per-row-local, so a single b-tile stream could compute v_i from
+the completed u_i and accumulate u_{i+1} stats): the kernel's passes are
+already VPU-bound, not DMA-bound — 478 GB/s vs XLA's own 571 GB/s pure
+two-pass lse streams and ~700 GB/s contiguous DMA — and the fused pass
+needs 2 exps/element instead of 1, so total exp work (2/element/
+iteration) is invariant. Halving passes halves DMA but not the binding
+VPU cost; expected net ≈ 1.0×. Documented-rejected without build.
 """
 
 import functools

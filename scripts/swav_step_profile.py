@@ -137,8 +137,8 @@ def main():
         return S.sinkhorn_knopp(s, sk["niters"], sk["eps"], r, c)
 
     t_sk = timed(sk_fn, (scores,))
-    print(f"sinkhorn (20k x 5000, 10 iters) : {t_sk*1e3:8.1f} ms x10/step"
-          f" -> {10*t_sk*1e3:7.1f} ms")
+    print(f"sinkhorn ({patch}x{sa['nprototypes']}, {sk['niters']} iters)"
+          f" : {t_sk*1e3:8.1f} ms x10/step -> {10*t_sk*1e3:7.1f} ms")
 
     def swl(s):
         return S.swapped_prediction_loss(
