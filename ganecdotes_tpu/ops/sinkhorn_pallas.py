@@ -12,10 +12,12 @@ reduction in ONE pass with a flash-attention-style ONLINE max:
 
     m_new = max(m, max(tile));  s = s * exp(m - m_new) + sum(exp(tile - m_new))
 
-so a full 10-iteration sinkhorn costs 20 streaming reads of the score
-matrix — the information-theoretic minimum for Gauss–Seidel updates
-(each update's reduction must see every element, and the two update
-directions cannot share a pass).
+so each update's reduction costs one streaming read. The twopass
+variant issues one such pass per update (20 reads for 10 iterations);
+the FUSED variant (see below) shares a single pass between an
+iteration's v-update and the next u-accumulation — whole-row tiles
+make v row-local — bringing 10 iterations down to 11 reads of the
+score matrix, the Gauss–Seidel minimum.
 
 Two exact algebraic eliminations (derived in swav.sinkhorn_knopp's
 docstring notation, pinned by tests/test_ops.py):
@@ -45,19 +47,22 @@ lse reassociation on codes in [0, 1]).
 
 Measured (v5e, fp32, 10 iters, chained-fori + value readback), per
 sinkhorn call: ffhq config (20000, 5000): jnp potentials 29.9 ms →
-kernel 18.8 ms; generic config (20000, 8000): old array iteration
-44.9 ms → potentials 45.2 ms → kernel 27.0 ms (478 GB/s effective on
-the 20-pass minimum). End-to-end the generic-config pretrain FULL STEP
-drops 476.4 → 309.4 ms (scripts/swav_step_profile.py, 1.54×).
+twopass kernel 18.8 ms → FUSED kernel 14.5 ms; generic config
+(20000, 8000): old array iteration 44.9 ms → potentials 45.2 ms →
+twopass 27.0–31.6 ms → FUSED 19.2 ms. End-to-end the generic-config
+pretrain FULL STEP drops 476.4 → 309.4 ms with twopass
+(scripts/swav_step_profile.py) and further with fused.
 
-Why not fuse both updates into one pass per iteration (whole-row tiles
-make v per-row-local, so a single b-tile stream could compute v_i from
-the completed u_i and accumulate u_{i+1} stats): the kernel's passes are
-already VPU-bound, not DMA-bound — 478 GB/s vs XLA's own 571 GB/s pure
-two-pass lse streams and ~700 GB/s contiguous DMA — and the fused pass
-needs 2 exps/element instead of 1, so total exp work (2/element/
-iteration) is invariant. Halving passes halves DMA but not the binding
-VPU cost; expected net ≈ 1.0×. Documented-rejected without build.
+The FUSED variant (default wherever whole-row tiles fit VMEM) streams
+ONE pass over the matrix per iteration instead of two: whole-row tiles
+make v per-ROW-local, so each b-tile computes v_i = log_c - lse_k(base
++ u_i) exactly in-registers from the completed u_i (VMEM scratch) and
+immediately folds v_i into the online accumulation for u_{i+1} —
+niters+1 passes total vs 2·niters. The enabling measurement: a probe
+with exp stripped from the kernel showed exp costs only ~0.3 ms/pass
+unhidden vs a 1.35 ms DMA-bound pass (i.e. the kernel is DMA-bound,
+not VPU-bound), so doubling per-pass exp work while halving passes
+nets ~1.3–1.65×. Parity fused-vs-twopass: 3.7e-6 on hardware.
 """
 
 import functools
@@ -123,6 +128,64 @@ def _t_kernel(x_ref, u_ref, t_ref, m_ref, s_ref, *, inv_eps, nk):
         t_ref[...] = m_ref[...] + jnp.log(s_ref[...])
 
 
+def _fused_kernel(x_ref, logr_ref, logc_ref, u_ref, t_ref,
+                  m_ref, s_ref, uc_ref, *, inv_eps, niters, nb):
+    """One streamed pass over b-tiles per Sinkhorn iteration.
+
+    Whole-row tiles make v per-ROW-local: with the completed u_i held in
+    VMEM scratch, each tile computes t = lse_k(x/eps + u_i) exactly
+    in-registers, v_i = log_c - t, and immediately folds v_i into the
+    online (m, s) accumulation for u_{i+1} — so iteration i costs ONE
+    read of the score matrix instead of two (grid = (niters+1, nb);
+    the final outer step only materializes t_fin = lse_k(x/eps + u_N)).
+    Measured DMA-bound (docstring header): exp adds ~0.3 ms/pass over a
+    pure streaming sum, so doubling per-pass exp work while halving
+    passes is a straight ~1.8x.
+    """
+    it = pl.program_id(0)
+    bt = pl.program_id(1)
+
+    # finalize u_{it} from pass it-1's accumulators, then reset them
+    @pl.when(bt == 0)
+    def _():
+        @pl.when(it == 0)
+        def _():
+            uc_ref[...] = jnp.zeros_like(uc_ref)
+
+        @pl.when(it > 0)
+        def _():
+            uc_ref[...] = logr_ref[...] - (m_ref[...] + jnp.log(s_ref[...]))
+
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INIT)
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    x = x_ref[...].astype(jnp.float32) * inv_eps  # (tb, kp)
+
+    # v_it per row (exact two-pass lse within the whole-row tile).
+    # At it==0 the Gauss-Seidel order gives v_0 = 0 (uc holds zeros, and
+    # the t computed here is discarded by the where).
+    z1 = x + uc_ref[...]  # (tb, kp) + (1, kp) sublane-broadcast
+    rm = jnp.max(z1, axis=1, keepdims=True)  # (tb, 1)
+    t = rm + jnp.log(jnp.sum(jnp.exp(z1 - rm), axis=1, keepdims=True))
+    v = jnp.where(it == 0, 0.0, logc_ref[...] - t)  # (tb, 1)
+
+    # accumulate u_{it+1} = log_r - lse_b(x/eps + v_it) online over b
+    z2 = x + v  # lane-broadcast
+    bm = jnp.max(z2, axis=0, keepdims=True)  # (1, kp)
+    m_old = m_ref[...]
+    m_new = jnp.maximum(m_old, bm)
+    s_ref[...] = s_ref[...] * jnp.exp(m_old - m_new) + jnp.sum(
+        jnp.exp(z2 - m_new), axis=0, keepdims=True
+    )
+    m_ref[...] = m_new
+
+    # outputs: u converges to u_N (finalized at it==niters's bt==0);
+    # t_fin tiles are only correct on the last outer step — pallas writes
+    # the out blocks every grid step, the final write wins
+    u_ref[...] = uc_ref[...]
+    t_ref[...] = t
+
+
 def _tiles(n, cap):
     """Largest divisor of n that is a multiple of 8 and <= cap, or None.
 
@@ -162,8 +225,10 @@ def sinkhorn_supported(b, k, vmem_budget=9 * 2**20):
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("niters", "eps", "tiles"))
-def _sinkhorn_pallas(scores, r, c, *, niters, eps, tiles):
+@functools.partial(
+    jax.jit, static_argnames=("niters", "eps", "tiles", "variant")
+)
+def _sinkhorn_pallas(scores, r, c, *, niters, eps, tiles, variant="auto"):
     b, k = scores.shape
     tb, tk, kp = tiles
     inv_eps = 1.0 / eps
@@ -180,6 +245,48 @@ def _sinkhorn_pallas(scores, r, c, *, niters, eps, tiles):
     log_c = jnp.log(c.astype(jnp.float32)).reshape(b, 1)
 
     nb, nk = b // tb, kp // tk
+
+    if variant == "auto":
+        variant = "fused" if tk == kp else "twopass"
+    if variant == "fused":
+        assert tk == kp, "fused variant needs whole-row tiles"
+        u, t_fin = pl.pallas_call(
+            functools.partial(_fused_kernel, inv_eps=inv_eps,
+                              niters=niters, nb=nb),
+            grid=(niters + 1, nb),
+            in_specs=[
+                pl.BlockSpec((tb, kp), lambda it, bt: (bt, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kp), lambda it, bt: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, 1), lambda it, bt: (bt, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=(
+                jax.ShapeDtypeStruct((1, kp), jnp.float32),
+                jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            ),
+            out_specs=(
+                pl.BlockSpec((1, kp), lambda it, bt: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, 1), lambda it, bt: (bt, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((1, kp), jnp.float32),
+                pltpu.VMEM((1, kp), jnp.float32),
+                pltpu.VMEM((1, kp), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=(niters + 1) * 6 * b * kp,
+                transcendentals=(niters + 1) * 2 * b * kp,
+                bytes_accessed=(niters + 1) * b * kp * 4,
+            ),
+            interpret=interpret,
+        )(xp, log_r, log_c)
+        return jnp.exp(
+            scores.astype(jnp.float32) * inv_eps + u[:, :k] - t_fin
+        )
 
     u_update = pl.pallas_call(
         functools.partial(_u_kernel, inv_eps=inv_eps, nb=nb),
@@ -246,15 +353,20 @@ def _sinkhorn_pallas(scores, r, c, *, niters, eps, tiles):
     return jnp.exp(scores.astype(jnp.float32) * inv_eps + u[:, :k] - t_fin)
 
 
-def sinkhorn_knopp_pallas(scores, niters, eps, r, c):
-    """Drop-in for swav.sinkhorn_knopp: codes (B, K) from scores (B, K)."""
+def sinkhorn_knopp_pallas(scores, niters, eps, r, c, variant="auto"):
+    """Drop-in for swav.sinkhorn_knopp: codes (B, K) from scores (B, K).
+
+    variant: 'auto' (fused single-pass-per-iteration when whole-row
+    tiles fit VMEM, else the two-kernel pass-per-update), 'fused',
+    'twopass'.
+    """
     tiles = sinkhorn_supported(*scores.shape)
     if tiles is None:
         raise ValueError(
             f"no Mosaic-legal tiling for sinkhorn at {scores.shape}"
         )
     return _sinkhorn_pallas(scores, r, c, niters=int(niters),
-                            eps=float(eps), tiles=tiles)
+                            eps=float(eps), tiles=tiles, variant=variant)
 
 
 def sinkhorn_impl_flag():

@@ -183,9 +183,11 @@ def sinkhorn_knopp(scores, niters, eps, r, c):
     log_q writes per iteration (measured HBM-bound on v5e; the remaining
     cost is the two read passes per lse, the reduction's max+sum).
 
-    On TPU, large matrices dispatch to the one-pass-per-update streaming
-    Pallas kernel (ops/sinkhorn_pallas.py) — identical fixed point,
-    parity-tested; GANECDOTES_SINKHORN_IMPL=jnp|pallas overrides.
+    On TPU, large matrices dispatch to the streaming Pallas kernel
+    (ops/sinkhorn_pallas.py; fused one-pass-PER-ITERATION where
+    whole-row tiles fit VMEM, else one pass per update) — identical
+    fixed point, parity-tested; GANECDOTES_SINKHORN_IMPL=jnp|pallas
+    overrides.
     """
     from ganecdotes_tpu.ops.sinkhorn_pallas import (
         sinkhorn_impl_flag,

@@ -149,14 +149,16 @@ def test_sinkhorn_pallas_parity():
         r = r / r.sum()
         c = jnp.ones((b,), jnp.float32) / b
         want = sinkhorn_knopp(scores, niters, eps, r, c)
-        got = sinkhorn_knopp_pallas(scores, niters, eps, r, c)
-        assert np.isfinite(np.asarray(got)).all()
-        # online-max vs two-pass logsumexp reassociation at eps=0.005
-        # logit scale: 1e-4 on codes in [0, 1] (observed max 3.1e-5)
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-3,
-            err_msg=f"b={b} k={k} eps={eps}",
-        )
+        for variant in ("fused", "twopass"):
+            got = sinkhorn_knopp_pallas(scores, niters, eps, r, c,
+                                        variant=variant)
+            assert np.isfinite(np.asarray(got)).all()
+            # online-max vs two-pass logsumexp reassociation at eps=0.005
+            # logit scale: 1e-4 on codes in [0, 1] (observed max 3.1e-5)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-3,
+                err_msg=f"b={b} k={k} eps={eps} variant={variant}",
+            )
 
 
 def test_sinkhorn_tiling_mosaic_legal():
