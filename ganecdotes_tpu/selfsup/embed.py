@@ -294,6 +294,18 @@ def project_gathered(features, picks, out_hw, weight, hlen=None):
 
     Equals pixel_feature_gather(...) @ weight without materializing the
     (N, hlen) matrix per level boundary. Returns (B, N, out).
+
+    Measured-REJECTED alternative (v5e, production SwAV step): per level
+    the two associations of gather∘project are algebraically identical,
+    and project-then-gather costs H_l·W_l·c_l·out FLOPs vs N·c_l·out —
+    a ~7× forward FLOP cut at N=20000 picks vs ≤128² levels. On
+    hardware it trimmed the forward micro-stage only 7.7 → 6.3 ms but
+    REGRESSED the full train step 216 → 235 ms (repeatable): the
+    gather's vjp becomes a 20000-row scatter-add into each level's
+    (H·W, out) projection — TPU scatter with colliding indices costs
+    more than the saved matmul FLOPs. Gather-then-project keeps the
+    vjp a dense matmul (g^T @ dz). Forward-only callers gather few
+    pixels (GUI paths), so no split dispatch is warranted.
     """
     h, w = out_hw
     ys = picks // w

@@ -81,6 +81,26 @@ def test_pixel_gather_matches_full_maps():
     got_p = project_gathered(feats, picks, (16, 16), W)
     np.testing.assert_allclose(np.asarray(got_p), np.asarray(want @ W), atol=1e-4)
 
+    # N > every level's cell count drives the project-first branch on all
+    # levels (the production regime: 20k picks vs <=128^2-cell levels);
+    # repeated picks included deliberately
+    many = jax.random.randint(jax.random.PRNGKey(8), (600,), 0, 16 * 16)
+    want_many = full[:, many // 16, many % 16, :] @ W
+    got_many = project_gathered(feats, many, (16, 16), W)
+    np.testing.assert_allclose(
+        np.asarray(got_many), np.asarray(want_many), atol=1e-4
+    )
+    # and the grad wrt W survives the scatter-add transpose of the gather
+    gfn = jax.grad(
+        lambda W: project_gathered(feats, many, (16, 16), W).sum()
+    )
+    gref = jax.grad(
+        lambda W: (pixel_feature_gather(feats, many, (16, 16)) @ W).sum()
+    )
+    np.testing.assert_allclose(
+        np.asarray(gfn(W)), np.asarray(gref(W)), atol=1e-3, rtol=1e-4
+    )
+
 
 def test_sinkhorn_marginals_converge():
     key = jax.random.PRNGKey(7)
