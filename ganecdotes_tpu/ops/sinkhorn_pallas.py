@@ -63,6 +63,16 @@ with exp stripped from the kernel showed exp costs only ~0.3 ms/pass
 unhidden vs a 1.35 ms DMA-bound pass (i.e. the kernel is DMA-bound,
 not VPU-bound), so doubling per-pass exp work while halving passes
 nets ~1.3–1.65×. Parity fused-vs-twopass: 3.7e-6 on hardware.
+
+Known remaining headroom, deliberately left: the fused pass runs
+1.75 ms vs a ~1.3 ms DMA floor (compute-bound on its 2 exps + 4 VPU
+reductions). A rank-1 reassociation exp(z2) = E1·exp(rm+v)·exp(-u)
+could reuse t's exp pass and move the column sum onto the MXU as a
+(1,tb)@(tb,kp) matvec, but it forfeits per-column max shifting: a
+prototype whose scores sit ≳87/inv_eps below the global max underflows
+its whole accumulator (log 0 → ±inf → NaN next pass), and clamping
+distorts exactly the starved-prototype boosts SwAV's equipartition
+depends on. ~1.3× on the solve was not worth that hazard.
 """
 
 import functools
