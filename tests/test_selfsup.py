@@ -205,6 +205,39 @@ def test_sinkhorn_tiling_mosaic_legal():
         assert 2 * tb * kphys * 4 <= 9 * 2**20, (b, k, tiles)
 
 
+def test_sinkhorn_pallas_fuzz():
+    # seeded sweep over shapes (incl. lane-unaligned K, the unpadded
+    # whole-row escape), iteration counts (incl. the niters=0 edge:
+    # codes = renormalized exp(scores/eps)), eps extremes, and
+    # non-uniform marginals — fused vs the jnp potentials oracle
+    from ganecdotes_tpu.ops.sinkhorn_pallas import (
+        sinkhorn_knopp_pallas,
+        sinkhorn_supported,
+    )
+
+    rs = np.random.RandomState(99)
+    cases = [
+        (8, 8, 0, 0.5), (16, 200, 1, 0.1), (40, 136, 5, 0.02),
+        (64, 384, 3, 0.005), (96, 72, 7, 1.0), (128, 128, 2, 0.05),
+    ]
+    for b, k, niters, eps in cases:
+        assert sinkhorn_supported(b, k) is not None, (b, k)
+        scores = jnp.asarray(rs.randn(b, k).astype(np.float32))
+        r = jnp.asarray(rs.rand(k).astype(np.float32) + 0.05)
+        r = r / r.sum()
+        c = jnp.asarray(rs.rand(b).astype(np.float32) + 0.05)
+        c = c / c.sum()
+        want = np.asarray(sinkhorn_knopp(scores, niters, eps, r, c))
+        got = np.asarray(
+            sinkhorn_knopp_pallas(scores, niters, eps, r, c)
+        )
+        assert np.isfinite(got).all(), (b, k, niters, eps)
+        np.testing.assert_allclose(
+            got, want, atol=1e-4, rtol=1e-3,
+            err_msg=f"b={b} k={k} niters={niters} eps={eps}",
+        )
+
+
 def test_sinkhorn_pallas_vmap_parity():
     # the sample_batch path vmaps sinkhorn over samples; the kernel must
     # batch correctly (pallas prepends a grid dim — program_id use inside
