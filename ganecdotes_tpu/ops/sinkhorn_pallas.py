@@ -63,6 +63,10 @@ with exp stripped from the kernel showed exp costs only ~0.3 ms/pass
 unhidden vs a 1.35 ms DMA-bound pass (i.e. the kernel is DMA-bound,
 not VPU-bound), so doubling per-pass exp work while halving passes
 nets ~1.3–1.65×. Parity fused-vs-twopass: 3.7e-6 on hardware.
+Training equivalence (not just per-call parity): a 10-epoch production
+ffhq-256 pretrain A/B on the v5e (GANECDOTES_SINKHORN_IMPL=jnp vs
+auto) matches the per-epoch loss trajectory to ≤4e-6 at every epoch —
+the per-call 1e-4-scale reassociation does not compound.
 
 Known remaining headroom, deliberately left: the fused pass runs
 1.75 ms vs a ~1.3 ms DMA floor (compute-bound on its 2 exps + 4 VPU
