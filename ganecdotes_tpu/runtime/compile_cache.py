@@ -78,9 +78,13 @@ def enable_persistent_compilation_cache(cache_dir=None):
         except OSError:
             pass
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # cache every compile that took >= 1 s (the relay's floor for real
-        # programs); tiny entries are skipped to bound directory growth
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist EVERY compile: through the relay even micro programs
+        # (threefry_split, broadcast_in_dim, _uniform, ...) cost ~0.5-0.7 s
+        # each to compile and every process pays ~10 of them as one-offs;
+        # a round-4 census measured only ~58 entries for a full pipeline
+        # run, so directory growth is a non-issue (the earlier 1.0 s
+        # threshold re-taxed each process ~5-7 s of micro compiles)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         return cache_dir
     except Exception:
