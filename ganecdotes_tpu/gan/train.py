@@ -216,6 +216,23 @@ class BagGANHQ(GANBaseModel):
 
     def __init__(self, config, seed=0):
         super().__init__(config)
+        if getattr(config, "use_ppl", False):
+            # PPL backprops through grad-of-grad of the generator; the
+            # opt-in pallas styled-conv kernels are custom_vjp (first-order
+            # only) and would die at trace time with a bare AssertionError
+            # deep inside JAX — fail here with a pointer to the knob
+            from ganecdotes_tpu.models.stylegan2 import generator as _g
+
+            if _g.STYLED_CONV_IMPL == "pallas":
+                raise ValueError(
+                    "GANECDOTES_STYLED_CONV_IMPL=pallas cannot train with"
+                    " use_ppl=True: the path-length regularizer takes"
+                    " grad-of-grad through the generator and the pallas"
+                    " styled-conv kernels are custom_vjp (second-order"
+                    " autodiff unsupported, see"
+                    " ops/modulated_conv_pallas.py). Unset the env flag"
+                    " or set use_ppl=False."
+                )
         self.loss_names = getattr(config, "losses_to_print", ["g_gan", "d"])
         self.model_names = (
             {"generator": "G", "disc": "D"} if self.is_train else {"generator": "G"}
@@ -328,6 +345,14 @@ class BagGANHQ(GANBaseModel):
         # 'gp' = checkpoint only the gradient-penalty branch (faster iter,
         # higher peak — see d_loss_fn)
         wgangp_remat = getattr(cfg, "wgangp_remat", "all")
+        if wgangp_remat not in ("all", "gp"):
+            # a typo ('ALL', 'full', ...) would silently select the
+            # higher-peak 'gp' behavior and risk intermittent HBM OOM at
+            # the production shape (see d_loss_fn) — fail like
+            # get_scheduler does for unknown lr policies
+            raise NotImplementedError(
+                f"wgangp_remat={wgangp_remat!r}: expected 'all' or 'gp'"
+            )
 
         n_latent = meta["n_latent"]
 

@@ -51,6 +51,10 @@ x perturbed per iteration so nothing hoists; bf16):
 
 End-to-end (bench.py --headline, batch 128, ffhq-256):
 impl='pallas' 511 img/s @ 49% MFU vs default 1096 img/s @ 64% MFU.
+(The 511 figure predates routing no-fit up shapes to the convT+blur
+composite — they previously fell back to the 2-3x-slower sub-pixel
+form — but the adoption decision is unaffected: the non-up kernel's
+deficit alone rejects a blanket pallas policy.)
 
 XLA's conv + epilogue fusion runs at ~76% of v5e bf16 peak on every
 production non-up shape; this kernel's 9 shifted-slab matmuls pay Mosaic
@@ -348,6 +352,32 @@ def styled_up_conv3x3_ref(x, w, s, demod, noise, noise_weight, bias,
     )
 
 
+def styled_up_conv3x3_xla(x, w, s, demod, noise, noise_weight, bias,
+                          blur_kernel=(1, 3, 3, 1)):
+    """The MEASURED-BEST XLA up path: conv_transpose + demod + 2-pass blur
+    (identical math to the sub-pixel form, pinned in tests; 2-3x faster at
+    every production shape — see the module decision table). This is the
+    fallback for impl='pallas' on unsupported shapes: routing those through
+    the sub-pixel composite silently contributed to the 1096 -> 511 img/s
+    headline regression under a blanket pallas policy."""
+    from ganecdotes_tpu.nn.layers import conv2d_transpose_nhwc
+    from ganecdotes_tpu.ops.upfirdn2d import blur_2d
+
+    kh = w.shape[0]
+    xm = x * s[:, None, None, :].astype(x.dtype)
+    out = conv2d_transpose_nhwc(xm, w, stride=2)
+    out = out * demod[:, None, None, :].astype(out.dtype)
+    # blur pad for upsample (ref model.py:293-299): p = (len(k)-2)-(ks-1)
+    pk = len(blur_kernel) - 2 - (kh - 1)
+    out = blur_2d(out, blur_kernel, pad=((pk + 1) // 2 + 1, pk // 2 + 1),
+                  upsample_factor=2)
+    out = out + noise_weight.astype(out.dtype) * noise.astype(out.dtype)
+    out = out + bias.astype(out.dtype)
+    return jnp.where(out >= 0, out, 0.2 * out) * jnp.asarray(
+        SQRT2, out.dtype
+    )
+
+
 def _up_kernel(nw_ref, xp_hbm, w_ref, demod_ref, noise_ref, bias_ref,
                out_ref, x_vmem, sem):
     """One (batch b, row-tile i, cout-block j) grid step.
@@ -521,7 +551,9 @@ def _up_fwd(x, w, s, demod, noise, noise_weight, bias, tile_h, co_blk):
 
 
 def _up_bwd(tile_h, co_blk, res, g):
-    _, vjp = jax.vjp(styled_up_conv3x3_ref, *res)
+    # identical math either composite; the conv_transpose form's VJP is the
+    # faster one (module decision table), so use it
+    _, vjp = jax.vjp(styled_up_conv3x3_xla, *res)
     return vjp(g)
 
 
@@ -530,12 +562,16 @@ _styled_up_conv3x3_pallas.defvjp(_up_fwd, _up_bwd)
 
 def styled_up_conv3x3(x, w, s, demod, noise, noise_weight, bias,
                       impl="xla"):
-    """Upsampling StyledConv body (2x). impl: 'xla' (sub-pixel composite) |
-    'pallas' (fused polyphase kernel). Falls back on unsupported shapes."""
+    """Upsampling StyledConv body (2x). impl: 'xla' (conv_transpose + blur,
+    the measured-best composite) | 'pallas' (fused polyphase kernel).
+    Unsupported shapes under 'pallas' fall back to the SAME xla composite —
+    NOT the sub-pixel form, which the module decision table rejects as
+    2-3x slower (styled_up_conv3x3_ref stays available as a parity oracle).
+    """
     if impl == "pallas":
         cfg = up_pallas_supported(x.shape, w.shape[3], x.dtype.itemsize)
         if cfg is not None:
             return _styled_up_conv3x3_pallas(
                 x, w, s, demod, noise, noise_weight, bias, *cfg
             )
-    return styled_up_conv3x3_ref(x, w, s, demod, noise, noise_weight, bias)
+    return styled_up_conv3x3_xla(x, w, s, demod, noise, noise_weight, bias)

@@ -196,6 +196,14 @@ def sinkhorn_knopp(scores, niters, eps, r, c):
     )
 
     flag = sinkhorn_impl_flag()
+    if flag not in ("auto", "jnp", "pallas"):
+        # an unrecognized value silently selecting the jnp path would be a
+        # 2.9x silent slowdown of the production pretrain step — fail loud
+        raise ValueError(
+            f"GANECDOTES_SINKHORN_IMPL={flag!r}: expected 'auto', 'jnp' or"
+            " 'pallas' (the kernel variant is picked automatically; there"
+            " is no 'fused'/'twopass' env value)"
+        )
     use_pallas = flag == "pallas" or (
         flag == "auto"
         and jax.default_backend() == "tpu"

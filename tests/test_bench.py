@@ -103,6 +103,16 @@ def test_pretrain_steps_per_s_paths_run_tiny():
     assert sps > 0
 
 
+@pytest.mark.slow
+def test_baggan_step_stats_runs_tiny():
+    """The GAN-training bench extra builds and runs at a tiny shape — same
+    code path as the TPU measurement (256² batch 16), so a drift in the
+    d/g step signatures can't crash the driver bench after its sweep."""
+    stats = bench.baggan_step_stats(iters=2, size=16, batch=2, mlp_layers=1)
+    assert stats["baggan_img_per_s"] > 0
+    assert stats["baggan_d_ms"] > 0 and stats["baggan_g_ms"] > 0
+
+
 def test_headline_only_mode(capsys, monkeypatch):
     """--headline quick A/B mode prints one JSON line with the impl flags."""
     import json

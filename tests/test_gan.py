@@ -405,6 +405,59 @@ def test_wgangp_selective_remat_matches_full_remat(tmp_path):
     np.testing.assert_array_equal(results["gp"][2], results["all"][2])
 
 
+def _tiny_gan_cfg(tmp_path, **overrides):
+    import types
+
+    cfg = types.SimpleNamespace(
+        out_dir=str(tmp_path), checkpoint_dir=str(tmp_path / "ckpt"),
+        is_train=True, image_size=16, latent_dim=32, num_channels=3,
+        batch_size=2, gan_mode="wgangp", use_ppl=False, r1_lambda=10,
+        ppl_lambda=2, path_batch_shrink=2, ppl_decay=0.01, d_reg_every=4,
+        g_reg_every=4, mixing_prob=1.0, chl_multiplier=1,
+        g_reg_ratio=4 / 5, d_reg_ratio=16 / 17, augment=False, augment_p=0,
+        ada_target=0.6, ada_length=100, lr=0.002, beta1=0.0,
+        lr_policy="linear",
+        lr_params=dict(epoch_count=1, n_epochs=2, n_epochs_decay=2),
+        generator_params=dict(mlp_layers=1),
+        losses_to_print=["g_gan", "d"],
+        start_epoch=1, continue_train=False, load_net=False,
+    )
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def test_wgangp_remat_rejects_unknown_values(tmp_path):
+    """A wgangp_remat typo ('ALL', 'full', ...) must fail at construction,
+    not silently run the higher-peak 'gp' mode (14.85 vs 12.22 GiB at the
+    production shape — an intermittent-OOM config bug)."""
+    import pytest
+
+    from ganecdotes_tpu.gan.train import BagGANHQ
+
+    with pytest.raises(NotImplementedError, match="wgangp_remat"):
+        BagGANHQ(_tiny_gan_cfg(tmp_path, wgangp_remat="ALL"))
+
+
+def test_ppl_with_pallas_styled_conv_fails_loud(tmp_path):
+    """use_ppl takes grad-of-grad through the generator; the custom_vjp
+    pallas styled-conv kernels are first-order only. The combination must
+    raise a pointed error at construction, not an opaque AssertionError
+    at trace time."""
+    import pytest
+
+    from ganecdotes_tpu.gan.train import BagGANHQ
+    from ganecdotes_tpu.models.stylegan2 import generator as G
+
+    old = G.STYLED_CONV_IMPL
+    try:
+        G.STYLED_CONV_IMPL = "pallas"
+        with pytest.raises(ValueError, match="GANECDOTES_STYLED_CONV_IMPL"):
+            BagGANHQ(_tiny_gan_cfg(tmp_path, use_ppl=True))
+    finally:
+        G.STYLED_CONV_IMPL = old
+
+
 def test_update_learning_rate_keeps_hyperparam_avals(tmp_path):
     """The per-epoch LR update must not change the optimizer hyperparam
     leaf aval (strong f32 scalar -> python float would be WEAK f32):

@@ -629,13 +629,59 @@ def test_styled_up_conv3x3_pallas_parity_and_grad():
             return styled_up_conv3x3(x, w, s, demod, noise, nw, bias,
                                      impl="pallas").sum()
 
+    # the custom_vjp routes through the conv_transpose+blur composite (the
+    # measured-best XLA form) — pin bitwise against THAT, allclose against
+    # the sub-pixel oracle (identical math, fp reassociation apart)
+    from ganecdotes_tpu.ops.modulated_conv_pallas import styled_up_conv3x3_xla
+
+    def loss_x(x, w, bias):
+        return styled_up_conv3x3_xla(x, w, s, demod, noise, nw, bias).sum()
+
     def loss_r(x, w, bias):
         return styled_up_conv3x3_ref(x, w, s, demod, noise, nw, bias).sum()
 
     gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, w, bias)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(x, w, bias)
     gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, w, bias)
-    for a, b in zip(gp, gr):
+    for a, b, c in zip(gp, gx, gr):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_styled_up_conv3x3_pallas_falls_back_to_conv_transpose_composite():
+    """impl='pallas' on shapes the up kernel can't tile must degrade to the
+    MEASURED-BEST xla composite (conv_transpose+blur), not the sub-pixel
+    form the module's decision table rejects as 2-3x slower. Both are
+    identical math, so also pin allclose against the sub-pixel oracle."""
+    from ganecdotes_tpu.ops.modulated_conv_pallas import (
+        styled_up_conv3x3,
+        styled_up_conv3x3_ref,
+        styled_up_conv3x3_xla,
+        up_pallas_supported,
+    )
+
+    rng = np.random.RandomState(1)
+    B, H, W, Ci, Co = 2, 8, 8, 64, 96  # channels not lane-aligned
+    x = jnp.asarray(rng.randn(B, H, W, Ci), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, Ci, Co) * 0.05, jnp.float32)
+    s = jnp.asarray(rng.rand(B, Ci) + 0.5, jnp.float32)
+    demod = jnp.asarray(rng.rand(B, Co) + 0.5, jnp.float32)
+    noise = jnp.asarray(rng.randn(B, 2 * H, 2 * W, 1), jnp.float32)
+    nw = jnp.asarray(0.3, jnp.float32)
+    bias = jnp.asarray(rng.randn(Co) * 0.1, jnp.float32)
+
+    assert up_pallas_supported(x.shape, Co, 4) is None
+    out = styled_up_conv3x3(x, w, s, demod, noise, nw, bias, impl="pallas")
+    np.testing.assert_array_equal(
+        np.asarray(out),
+        np.asarray(styled_up_conv3x3_xla(x, w, s, demod, noise, nw, bias)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.asarray(styled_up_conv3x3_ref(x, w, s, demod, noise, nw, bias)),
+        atol=2e-5, rtol=1e-5,
+    )
 
 
 def test_generator_pallas_impl_covers_up_convs_too():

@@ -115,6 +115,21 @@ def test_sinkhorn_marginals_converge():
     assert np.all(np.asarray(q) >= 0)
 
 
+def test_sinkhorn_impl_flag_rejects_unknown_values(monkeypatch):
+    """GANECDOTES_SINKHORN_IMPL typos ('fused', 'Pallas', ...) must fail
+    loud, not silently select the 2.9x-slower jnp path."""
+    import pytest
+
+    scores = jnp.zeros((8, 4))
+    r = jnp.ones((4,)) / 4
+    c = jnp.ones((8,)) / 8
+    monkeypatch.setenv("GANECDOTES_SINKHORN_IMPL", "fused")
+    with pytest.raises(ValueError, match="GANECDOTES_SINKHORN_IMPL"):
+        sinkhorn_knopp(scores, 1, 0.5, r, c)
+    monkeypatch.setenv("GANECDOTES_SINKHORN_IMPL", "jnp")
+    assert np.isfinite(np.asarray(sinkhorn_knopp(scores, 1, 0.5, r, c))).all()
+
+
 def test_sinkhorn_extreme_scores_no_overflow():
     # eps=0.005 with O(1) scores overflows a naive exp(score/eps) in fp32;
     # the stabilized form must stay finite (swav config sinkhorn eps=0.005)
