@@ -49,12 +49,13 @@ x perturbed per iteration so nothing hoists; bf16):
   B32 64->128  512->256        3.55 ms 87 TF/s    9.8 ms     7.8 ms   no fit
   B32 128->256 256->128        4.4-5.5 ms         11.8 ms    8.0 ms   14.2 ms
 
-End-to-end (bench.py --headline, batch 128, ffhq-256):
-impl='pallas' 511 img/s @ 49% MFU vs default 1096 img/s @ 64% MFU.
-(The 511 figure predates routing no-fit up shapes to the convT+blur
-composite — they previously fell back to the 2-3x-slower sub-pixel
-form — but the adoption decision is unaffected: the non-up kernel's
-deficit alone rejects a blanket pallas policy.)
+End-to-end (bench.py --headline, ffhq-256): impl='pallas' measured
+511 img/s @ 49% MFU (batch 128) when no-fit up shapes fell back to the
+sub-pixel composite; after routing that fallback to the convT+blur
+composite it re-measures 1008 img/s @ 59% MFU (batch 384) — i.e. most
+of the old deficit was the WRONG FALLBACK, and the non-up kernel's own
+tax on the full program is ~8% vs the 1096 img/s default. Decision
+unchanged: 'xla' stays the default.
 
 XLA's conv + epilogue fusion runs at ~76% of v5e bf16 peak on every
 production non-up shape; this kernel's 9 shifted-slab matmuls pay Mosaic
