@@ -34,6 +34,24 @@ def resize_nearest(x, size):
         return x
     if h % ih == 0 and w % iw == 0:
         sh, sw = h // ih, w // iw
+        if c >= 64 and jnp.issubdtype(x.dtype, jnp.floating):
+            # wide channels: depthwise lhs-dilated conv with an all-ones
+            # s×s kernel (upfirdn2d's measured dispatch policy — conv
+            # beats data-formatting lowerings for C≥64; the broadcast
+            # form below materializes a T(2,128) sublane-padded tensor
+            # when its consumer is a conv, profiled ~26 ms vs ~4 ms for
+            # a (128,64,64,512)→128² transition). Exact: zero-insertion
+            # by s with pad (s-1, s-1) and an s×s ones window selects
+            # precisely x[i] for outputs s·i+t, t∈[0,s) — each window
+            # covers exactly one populated dilated sample.
+            k = jnp.ones((sh, sw, 1, c), dtype=x.dtype)
+            return jax.lax.conv_general_dilated(
+                x, k, window_strides=(1, 1),
+                padding=((sh - 1, sh - 1), (sw - 1, sw - 1)),
+                lhs_dilation=(sh, sw),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=c,
+            )
         out = jnp.broadcast_to(
             x[:, :, None, :, None, :], (b, ih, sh, iw, sw, c)
         )

@@ -184,17 +184,49 @@ def project_segment_single_conv(features, weight, head_w, head_b, hlen=None):
     # (profiled: ~16 ms/step at batch 128, a T(2,128)-padded broadcast),
     # while emitting the h/4 and h/2 groups through their own polyphase
     # convs adds only ~2 GF/img of full-lane MXU work.
+    # Above-cutoff groups (r = h/2): compose the projection INTO the
+    # polyphase conv weights per level instead of materializing the
+    # D-wide projected tensor. conv is linear, so
+    #   polyphase(Σ_l f_l·P_l, W) = Σ_l polyphase(f_l, P_l·W)
+    # and the (B, r, rw, D) temp — 8 GiB bf16 for car-512's 256²-res
+    # group at batch 128, a write+read HBM round trip — never exists;
+    # each conv reads the feature at its NATIVE channel width. Static
+    # FLOP guard: fold only when Σ_l 9·use_l·f²·co ≤ Σ_l use_l·D +
+    # 9·D·f²·co (true for every production head, where f²·co ≪ D; a
+    # hypothetical very-wide-output head keeps the projected form).
+    # Merge target h/4, as profiled at 256². A 64² cap (routing the h/4
+    # group through its own composed polyphase convs) was measured at
+    # 512² batch 128 and is a wash: polyphase FLOPs are invariant to the
+    # emission resolution (r²·f² ≡ h²), so the extra per-level emission
+    # convs (~5 TF, at ~98% MFU) cost exactly what the skipped h/8→h/4
+    # accumulator transition saved (490.6 vs 485.5 img/s).
+    cutoff = h // 4
+    d_proj = head_w.shape[2]
+    co = head_w.shape[3]
     groups = {}  # source resolution -> summed (B, r, rw, C) tensor
+    hi = {}  # source resolution -> [(feature slab, projection chunk)]
     for f, off, use in coarse:
+        r = f.shape[1]
+        if r > cutoff:
+            hi.setdefault(r, []).append((f, off, use))
+            continue
         z = f[..., :use] @ weight[off : off + use].astype(f.dtype)
-        r = z.shape[1]
         if r in groups:
             groups[r] = groups[r] + z
         else:
             groups[r] = z
+    for r, levels in list(hi.items()):
+        f_up = h // r
+        fold = sum(9 * use * f_up * f_up * co for _, _, use in levels)
+        proj = (sum(use * d_proj for _, _, use in levels)
+                + 9 * d_proj * f_up * f_up * co)
+        if fold > proj:  # wide-output head: projected form is cheaper
+            del hi[r]
+            for f, off, use in levels:
+                z = f[..., :use] @ weight[off : off + use].astype(f.dtype)
+                groups[r] = groups[r] + z if r in groups else z
     if groups:
         res_sorted = sorted(groups)
-        cutoff = h // 4
         acc = None
         for r in res_sorted:
             if r > cutoff:
@@ -215,6 +247,16 @@ def project_segment_single_conv(features, weight, head_w, head_b, hlen=None):
             groups[cutoff] = acc
         for r, z in groups.items():
             y = _polyphase_conv3x3_up(z, head_w, h // r, dt)
+            out = y if out is None else out + y
+
+    for r in sorted(hi):
+        for f, off, use in hi[r]:
+            wc = jnp.einsum(
+                "cd,tsdo->tsco", weight[off : off + use],
+                head_w.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )  # (3, 3, use, C_out): projection folded into the conv
+            y = _polyphase_conv3x3_up(f[..., :use], wc, h // r, dt)
             out = y if out is None else out + y
 
     return out + head_b.astype(dt)

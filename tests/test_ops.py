@@ -151,6 +151,39 @@ def test_resize_nearest_matches_torch():
         np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_resize_nearest_wide_channel_conv_path():
+    """C>=64 integer upscales dispatch to the depthwise lhs-dilated conv
+    (upfirdn2d's measured policy); it must equal the broadcast form and
+    torch F.interpolate exactly, including non-square factors."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(5)
+    for (h, w, c), size in [
+        ((4, 4, 64), (8, 8)),      # s=2, the acc-transition shape family
+        ((4, 6, 128), (12, 12)),   # s=(3, 2)
+        ((2, 2, 64), (8, 8)),      # s=4
+    ]:
+        x = rng.randn(2, h, w, c).astype(np.float32)
+        want = (
+            F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2), size,
+                          mode="nearest")
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        got = resize_nearest(jnp.asarray(x), size)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+        # int dtypes must stay on the broadcast/gather path (labels)
+        xi = (x * 10).astype(np.int32)
+        got_i = resize_nearest(jnp.asarray(xi), size)
+        want_i = (
+            F.interpolate(torch.from_numpy(xi.astype(np.float32))
+                          .permute(0, 3, 1, 2), size, mode="nearest")
+            .permute(0, 2, 3, 1).numpy().astype(np.int32)
+        )
+        np.testing.assert_array_equal(np.asarray(got_i), want_i)
+
+
 def test_resize_bilinear_matches_torch():
     torch = pytest.importorskip("torch")
     import torch.nn.functional as F
