@@ -26,6 +26,10 @@ numbers (BASELINE.json "published": {}).
   * simclr_img_per_s,
     hfc_kmeans_img_per_s      — same generate→embed→segment program for the
                                 other two learner families;
+  * repurposegan_img_per_s,
+    datasetgan_img_per_s      — the two raw-concat baseline serving paths
+                                (fused first head layer; the (B,H,W,Σc)
+                                concat never materializes);
   * batch                     — the peak batch found by the self-terminating
                                 sweep (doubling until throughput regresses,
                                 then a 1.5× midpoint probe);
@@ -192,6 +196,53 @@ def build(batch, dtype, method="swav"):
             )
             logits = one_shot_segmentor_apply(seg_params, z, "S")
             return img, jnp.argmax(logits, axis=-1)
+
+    elif method in ("repurposegan", "datasetgan"):
+        # Baseline serving (ref baseline/{repurposegan,datasetgan}): raw
+        # upsample+concat features into a dilated FCN / per-pixel MLP.
+        # Both run the pipeline's fused form — the first head layer folds
+        # into the level pyramid (embed.concat_segment_fcn /
+        # heads.pixel_classifier_from_first), so the (B, 256, 256, Σc)
+        # concat (~600 MB/img bf16 at Σc≈4.9k) never materializes.
+        feat_shapes = jax.eval_shape(
+            lambda p, z: synth(p, z)[1], g.params, jnp.zeros((1, 512))
+        )
+
+        if method == "repurposegan":
+            from ganecdotes_tpu.selfsup.embed import concat_segment_fcn
+
+            n_layers = 13  # configs/segmentors/repurposegan_config.py
+            in_ch = sum(s.shape[-1] for s in feat_shapes[:n_layers])
+            seg = init_one_shot_segmentor(kh, in_ch, 8, "XS")
+            ssl = jnp.zeros(())  # no SSL stage in the baselines
+
+            def fn(gen_params, _unused, seg_params, latents):
+                img, feats = synth(gen_params, latents)
+                logits = concat_segment_fcn(
+                    feats, seg_params, "XS", n_layers=n_layers
+                )
+                return img, jnp.argmax(logits, axis=-1)
+
+        else:
+            from ganecdotes_tpu.selfsup.embed import project_feature_maps
+            from ganecdotes_tpu.selfsup.heads import (
+                init_pixel_classifier,
+                pixel_classifier_from_first,
+            )
+
+            n_layers = 14  # configs/segmentors/datasetgan_config.py
+            in_ch = sum(s.shape[-1] for s in feat_shapes[:n_layers])
+            seg, state = init_pixel_classifier(kh, in_ch, 8)
+            ssl = state  # BN stats ride the ssl slot
+
+            def fn(gen_params, state, seg_params, latents):
+                img, feats = synth(gen_params, latents)
+                v1 = project_feature_maps(
+                    feats[:n_layers], seg_params[0]["weight"]
+                )
+                v1 = v1 + seg_params[0]["bias"].astype(v1.dtype)
+                logits = pixel_classifier_from_first(seg_params, state, v1)
+                return img, jnp.argmax(logits, axis=-1)
 
     else:
         raise ValueError(method)
@@ -613,6 +664,8 @@ def main():
             extra[key] = None
     for method, key, start in (("simclr", "simclr_img_per_s", 32),
                                ("hfc_kmeans", "hfc_kmeans_img_per_s", 32),
+                               ("repurposegan", "repurposegan_img_per_s", 16),
+                               ("datasetgan", "datasetgan_img_per_s", 16),
                                ("swav512", "car512_img_per_s", 8),
                                ("swav_labels_only",
                                 "labels_only_img_per_s", 64)):

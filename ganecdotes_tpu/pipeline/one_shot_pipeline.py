@@ -689,10 +689,53 @@ class OneShotPipeline:
                 return jax.vmap(one)(feats)
 
         elif seg_str in ["repurposegan", "datasetgan"]:
+            # fused baseline serving: the first head layer is linear in the
+            # concat features, so it folds into the level pyramid and the
+            # (B, H, W, Σc) concat (~600 MB/img bf16 at 256², hlen 4864)
+            # never materializes. Exact (parity-tested vs the unfused
+            # pixel_feature_maps forms); the TRAINING path still embeds
+            # explicitly (features are fixed there and extracted once).
             n_layers = self.seg_config.n_layers
+            if self._seg_is_mlp:
+                from ganecdotes_tpu.selfsup.embed import project_feature_maps
+                from ganecdotes_tpu.selfsup.heads import (
+                    pixel_classifier_from_first,
+                )
 
-            def embed(gen_params, feats):
-                return pixel_feature_maps(feats, n_layers=n_layers)
+                state = self.segmentor_state
+
+                @jax.jit
+                def infer(gen_params, seg_params, latents):
+                    img, feats = generator_forward(
+                        gen_params, meta, [latents], input_is_latent=True,
+                        truncation=truncation, truncation_latent=mean_latent,
+                        randomize_noise=False, dtype=dtype,
+                    )
+                    v1 = project_feature_maps(
+                        feats[:n_layers], seg_params[0]["weight"]
+                    )
+                    v1 = v1 + seg_params[0]["bias"].astype(v1.dtype)
+                    logits = pixel_classifier_from_first(
+                        seg_params, state, v1
+                    )
+                    return img, jnp.argmax(logits, axis=-1)
+
+            else:
+                from ganecdotes_tpu.selfsup.embed import concat_segment_fcn
+
+                @jax.jit
+                def infer(gen_params, seg_params, latents):
+                    img, feats = generator_forward(
+                        gen_params, meta, [latents], input_is_latent=True,
+                        truncation=truncation, truncation_latent=mean_latent,
+                        randomize_noise=False, dtype=dtype,
+                    )
+                    logits = concat_segment_fcn(
+                        feats, seg_params, seg_size, n_layers=n_layers
+                    )
+                    return img, jnp.argmax(logits, axis=-1)
+
+            return infer
 
         elif seg_str == "hfc_kmeans":
             # centers and beliefs are device arrays once loaded, so the whole

@@ -305,6 +305,78 @@ def _polyphase_conv3x3_up(z, head_w, f, dt):
     return yc.transpose(0, 1, 3, 2, 4, 5).reshape(b_, f * r, f * rw, c_out)
 
 
+def concat_segment_fcn(features, seg_params, size, hlen=None, n_layers=None):
+    """FCN-head logits over the raw upsample+concat features, first conv
+    fused into the level pyramid (the RepurposeGAN serving path,
+    ref baseline/repurposegan/segmentor.py + one_shot_pipeline.py:615).
+
+    A conv's input-channel slices are independent, so for the concat of
+    nearest-upsampled levels
+
+        conv3x3(concat_l up_f(f_l), W) = Σ_l conv3x3(up_f(f_l), W[:, :, s_l])
+
+    where ``s_l`` is level l's channel slice of the first conv weight.
+    Full-res levels convolve directly; levels above the merge cutoff go
+    through per-level polyphase convs (``_polyphase_conv3x3_up``); levels
+    at/below the cutoff are lifted to the cutoff resolution in concat
+    space (small: cutoff ≤ 64) and share ONE phase-stacked conv. Total
+    conv FLOPs equal the monolithic head conv's exactly (each channel
+    contributes 9·C_out MACs per output pixel either way) — what
+    disappears is the (B, H, W, Σc) concat tensor (~600 MB/img bf16 at
+    the repurposegan-256 config) and its HBM round trip. The remaining
+    dilated convs run unchanged.
+    """
+    from ganecdotes_tpu.nn.layers import conv2d_dilated_nhwc, leaky_relu
+    from ganecdotes_tpu.selfsup.heads import DILATIONS
+
+    if n_layers is not None:
+        features = features[:n_layers]
+    h = max(f.shape[1] for f in features)
+    w = max(f.shape[2] for f in features)
+    w0 = seg_params[0]["weight"]  # (3, 3, Σc[:hlen], C1) HWIO
+    b0 = seg_params[0]["bias"]
+    total = hlen if hlen is not None else w0.shape[2]
+    dt = features[0].dtype
+    cutoff = min(h // 4, 64)
+
+    out = None
+    lift, lift_w = [], []  # levels merged at the cutoff resolution
+    off = 0
+    for f in features:
+        c = f.shape[-1]
+        use = max(0, min(c, total - off))
+        w_sl = w0[:, :, off : off + use, :]
+        off += c
+        if use == 0:
+            continue
+        r = f.shape[1]
+        if r == h and f.shape[2] == w:
+            y = conv2d_dilated_nhwc(f[..., :use], w_sl.astype(dt),
+                                    dilation=1, padding=1)
+        elif r > cutoff:
+            y = _polyphase_conv3x3_up(f[..., :use], w_sl, h // r, dt)
+        else:
+            lift.append(
+                resize_nearest(f[..., :use], (cutoff, cutoff * w // h))
+            )
+            lift_w.append(w_sl)
+            continue
+        out = y if out is None else out + y
+    if lift:
+        zc = jnp.concatenate(lift, axis=-1)
+        wc = jnp.concatenate(lift_w, axis=2)
+        y = _polyphase_conv3x3_up(zc, wc, h // cutoff, dt)
+        out = y if out is None else out + y
+
+    out = out + b0.astype(dt)
+    dilations = DILATIONS[size]
+    for p, d in zip(seg_params[1:], dilations[1:]):
+        out = leaky_relu(out)
+        out = conv2d_dilated_nhwc(out, p["weight"], dilation=d, padding=d)
+        out = out + p["bias"].astype(out.dtype)
+    return out
+
+
 def pixel_feature_gather(features, picks, out_hw, hlen=None):
     """Gather full concat feature vectors for a pixel subset, per level.
 

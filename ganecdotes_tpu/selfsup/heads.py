@@ -125,6 +125,32 @@ def init_pixel_classifier(key, in_ch, n_class):
     return layers, state
 
 
+def pixel_classifier_from_first(params, state, v, eps=1e-5):
+    """Eval-mode pixel classifier from AFTER the first Linear.
+
+    ``v`` is x @ W1 + b1 (pre-ReLU), any leading shape. Lets the serving
+    path fold the first Linear into the feature-level decomposition
+    (``embed.project_feature_maps``) so the (B, H, W, Σc) concat tensor
+    never materializes — a per-pixel Linear commutes with nearest
+    upsampling. Matches ``pixel_classifier_apply(train=False)`` exactly.
+    """
+    v2 = v
+    for i in range(len(params) - 1):
+        # layer 0's Linear already happened (it IS ``v``); later hidden
+        # layers apply their Linear here, then the shared ReLU -> BN
+        if i > 0:
+            p = params[i]
+            v2 = v2 @ p["weight"].astype(v2.dtype) + p["bias"].astype(v2.dtype)
+        v2 = jnp.maximum(v2, 0.0)
+        bn = state[i]
+        v2 = (
+            (v2 - bn["mean"]) * jax.lax.rsqrt(bn["var"] + eps) * bn["gamma"]
+            + bn["beta"]
+        )
+    p = params[-1]
+    return v2 @ p["weight"].astype(v2.dtype) + p["bias"].astype(v2.dtype)
+
+
 def pixel_classifier_apply(params, state, x, train=False, momentum=0.1, eps=1e-5):
     """x: (B, H, W, C) -> (logits (B, H, W, n_class), new_state)."""
     b, h, w, c = x.shape

@@ -19,6 +19,8 @@ import bench
         ("swav", 256),
         ("simclr", 256),
         ("hfc_kmeans", 256),
+        ("repurposegan", 256),
+        ("datasetgan", 256),
         pytest.param("swav_labels_only", 256, marks=pytest.mark.slow),
         pytest.param("swav512", 512, marks=pytest.mark.slow),
     ],

@@ -707,6 +707,84 @@ def test_project_segment_fcn_matches_unfused():
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        atol=3e-4, rtol=1e-4)
 
+def test_concat_segment_fcn_matches_unfused():
+    """RepurposeGAN serving fusion: the channel-slice-decomposed first
+    conv must match one_shot_segmentor_apply(pixel_feature_maps(...))
+    for both n_layers and mid-level hlen truncation."""
+    import jax
+
+    from ganecdotes_tpu.selfsup.embed import (
+        concat_segment_fcn,
+        pixel_feature_maps,
+    )
+    from ganecdotes_tpu.selfsup.heads import (
+        init_one_shot_segmentor,
+        one_shot_segmentor_apply,
+    )
+
+    rng = np.random.RandomState(7)
+    shapes = [(2, 4, 4, 24), (2, 8, 8, 24), (2, 8, 8, 24),
+              (2, 16, 16, 12), (2, 16, 16, 12),
+              (2, 32, 32, 6), (2, 32, 32, 6)]
+    feats = [jnp.asarray(rng.randn(*s).astype(np.float32)) for s in shapes]
+    total = sum(s[-1] for s in shapes)
+
+    for size in ("XS", "S"):
+        for kwargs in ({"n_layers": len(feats)}, {"n_layers": 5},
+                       {"hlen": total - 9}):
+            n_l = kwargs.get("n_layers")
+            hlen = kwargs.get("hlen")
+            in_ch = (sum(s[-1] for s in shapes[:n_l]) if n_l is not None
+                     else hlen)
+            seg = init_one_shot_segmentor(jax.random.PRNGKey(4), in_ch, 5,
+                                          size)
+            z = pixel_feature_maps(feats, hlen=hlen, n_layers=n_l)
+            want = one_shot_segmentor_apply(seg, z, size)
+            got = concat_segment_fcn(feats, seg, size, **kwargs)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=3e-4, rtol=1e-4)
+
+
+def test_pixel_classifier_from_first_matches_apply():
+    """DatasetGAN serving fusion: first Linear folded through
+    project_feature_maps + the from-first tail must equal the eval-mode
+    pixel_classifier_apply on the explicit concat."""
+    import jax
+
+    from ganecdotes_tpu.selfsup.embed import (
+        pixel_feature_maps,
+        project_feature_maps,
+    )
+    from ganecdotes_tpu.selfsup.heads import (
+        init_pixel_classifier,
+        pixel_classifier_apply,
+        pixel_classifier_from_first,
+    )
+
+    rng = np.random.RandomState(8)
+    shapes = [(2, 4, 4, 24), (2, 8, 8, 24), (2, 16, 16, 12),
+              (2, 32, 32, 6)]
+    feats = [jnp.asarray(rng.randn(*s).astype(np.float32)) for s in shapes]
+    in_ch = sum(s[-1] for s in shapes)
+    params, state = init_pixel_classifier(jax.random.PRNGKey(5), in_ch, 5)
+    # non-trivial BN stats (fresh init is mean 0 / var 1, which would let a
+    # stats-ordering bug pass)
+    state = [
+        {"mean": s["mean"] + 0.3, "var": s["var"] * 1.7,
+         "gamma": s["gamma"] * 0.9, "beta": s["beta"] + 0.1}
+        for s in state
+    ]
+
+    x = pixel_feature_maps(feats)
+    want, _ = pixel_classifier_apply(params, state, x, train=False)
+
+    v1 = project_feature_maps(feats, params[0]["weight"])
+    v1 = v1 + params[0]["bias"].astype(v1.dtype)
+    got = pixel_classifier_from_first(params, state, v1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+
+
 def test_swav_patch_sampling_method():
     """'patch' picks one contiguous square block at the same offset on both
     axes with patch_size**2 pixels (ref swav_clustering.py:150-159,383-386),
