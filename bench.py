@@ -324,8 +324,14 @@ def sweep(method="swav", iters=20, start=32, keep_best=False):
                 # big programs (observed at batch 192/256 while smaller and
                 # LARGER programs compiled fine) — one retry rescues the
                 # sweep's best batch from a transient; a real OOM/breakage
-                # fails identically twice
-                if "remote_compile" not in repr(e):
+                # fails identically twice.  A compile that died on HBM
+                # exhaustion (the 500 wraps XLA's allocation dump) is NOT
+                # transient: retrying re-runs a minutes-long doomed compile
+                # and stresses the relay worker.
+                r = repr(e)
+                if "remote_compile" not in r or (
+                    "out of memory" in r or "Largest program allocations" in r
+                ):
                     raise
                 import sys
 
@@ -341,6 +347,7 @@ def sweep(method="swav", iters=20, start=32, keep_best=False):
 
             print(f"bench: batch {b} failed ({e!r})", file=sys.stderr)
             results[b] = 0.0
+            await_relay()  # don't let a dead relay null the rest of the sweep
         return results[b]
 
     b = start
@@ -358,6 +365,32 @@ def sweep(method="swav", iters=20, start=32, keep_best=False):
         jfn, args = build(best_b, jnp.bfloat16, method)
         return best_b, (results[best_b], jfn, args)
     return best_b, (results[best_b], None, None)
+
+
+def await_relay(timeout_s=240, interval_s=20):
+    """Block until the TPU relay answers a trivial dispatch (or time out).
+
+    Called between bench stages after a stage fails: the round-4 run lost
+    every extra after hfc_kmeans because the relay worker died mid-sweep
+    and each later stage failed instantly, even though the relay recovers
+    within a few minutes.  Returns True once a 1-element jit round-trips.
+    """
+    import sys
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            jax.block_until_ready(jax.jit(jnp.negative)(jnp.float32(1.0)))
+            return True
+        except Exception as e:
+            if time.monotonic() >= deadline:
+                print(f"bench: relay did not recover within {timeout_s}s "
+                      f"({e!r})", file=sys.stderr)
+                return False
+            print("bench: relay unresponsive, waiting for recovery",
+                  file=sys.stderr)
+            time.sleep(interval_s)
 
 
 def pretrain_steps_per_s(method="swav", iters=10, sample_batch=None,
@@ -662,6 +695,7 @@ def main():
             extra[key] = round(pretrain_steps_per_s(method, iters=10), 3)
         except Exception:
             extra[key] = None
+            await_relay()
     for method, key, start in (("simclr", "simclr_img_per_s", 32),
                                ("hfc_kmeans", "hfc_kmeans_img_per_s", 32),
                                ("repurposegan", "repurposegan_img_per_s", 16),
@@ -692,6 +726,7 @@ def main():
             del mfn, margs
         except Exception:
             extra[key] = None
+            await_relay()
 
     # GAN-training throughput (BagGAN-HQ, 256² batch 16, ADA): the other
     # training family's headline, recorded per-round alongside the SSL ones
