@@ -42,6 +42,15 @@ parser.add_argument(
 parser.add_argument("--out_dir", default="results/evaluate_default/")
 parser.add_argument("--expt_desc", default="Testing Clustering Model")
 parser.add_argument("--num_test_samples", default=10, type=int)
+parser.add_argument(
+    "--export_serving",
+    default=None,
+    metavar="PATH.ganex",
+    help="after evaluation, export the trained fused generate->embed->"
+         "segment program (weights baked in) to a one-file jax.export "
+         "serving artifact runnable with jax alone (TPU-native extension; "
+         "the reference has no serving/deployment story)",
+)
 
 args = parser.parse_args()
 args.method = resolve_method_alias(args.method, args.model)
@@ -64,3 +73,12 @@ if args.method == "hfc_kmeans":
     ] = True
 
 one_shot_pipeline.run_pipeline()
+
+if args.export_serving:
+    from ganecdotes_tpu.runtime.export import export_serving
+
+    meta = export_serving(one_shot_pipeline, args.export_serving)
+    one_shot_pipeline.logger.info(
+        "Exported serving artifact to %s (batch %d, platforms %s)",
+        args.export_serving, meta["batch"], meta["platforms"],
+    )
