@@ -108,10 +108,22 @@ def kmeans_fit(x, k, key, n_init=10, max_iter=300, init_centers=None):
 
 
 def _resize_labels(labels, out_size):
-    """Nearest-resize an int (B, h, w) label map via row/col gathers."""
+    """Nearest-resize an int (B, h, w) label map.
+
+    Integer upscale factors (every hfc layer: 4/8/16/32/64 → 256) take the
+    broadcast-repetition path — pure reshape/broadcast that fuses into the
+    consumer, where the general path's row/col gathers materialize
+    (ops/interp.resize_nearest applies the same policy to float maps).
+    """
     b, h, w = labels.shape
     if (h, w) == (out_size, out_size):
         return labels
+    if out_size % h == 0 and out_size % w == 0:
+        sh, sw = out_size // h, out_size // w
+        out = jnp.broadcast_to(
+            labels[:, :, None, :, None], (b, h, sh, w, sw)
+        )
+        return out.reshape(b, out_size, out_size)
     ri = jnp.asarray(_nearest_indices(h, out_size))
     ci = jnp.asarray(_nearest_indices(w, out_size))
     return labels[:, ri][:, :, ci]

@@ -1055,3 +1055,22 @@ def test_hfc_predict_beliefs_none_jits_and_matches_trained_estimate():
                                atol=1e-6)
     for a, b in zip(labels_auto, labels_tr):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resize_labels_broadcast_matches_gather():
+    """Integer-factor label upscale (the broadcast fast path) must agree
+    with the general gather path — and non-integer factors still work."""
+    import jax.numpy as jnp
+
+    from ganecdotes_tpu.selfsup.kmeans import _nearest_indices, _resize_labels
+
+    rng = np.random.RandomState(3)
+    for h, w, out in [(4, 4, 256), (8, 8, 16), (64, 64, 256), (5, 5, 16),
+                      (16, 16, 16)]:
+        labels = jnp.asarray(rng.randint(0, 7, size=(2, h, w)))
+        got = np.asarray(_resize_labels(labels, out))
+        ri = np.asarray(_nearest_indices(h, out))
+        ci = np.asarray(_nearest_indices(w, out))
+        exp = np.asarray(labels)[:, ri][:, :, ci]
+        np.testing.assert_array_equal(got, exp)
+        assert got.dtype == np.asarray(labels).dtype
