@@ -649,6 +649,23 @@ def headline_only():
 
 
 def main():
+    """Run every stage with stdout redirected to stderr, then print the one
+    JSON line the driver parses to the REAL stdout.
+
+    The BagGAN stage's reference-parity logger writes to stdout (as do any
+    future stages that construct pipeline objects); without the redirect
+    those lines land in front of the JSON and break the one-line contract.
+    """
+    import contextlib
+    import sys
+
+    real_stdout = sys.stdout
+    with contextlib.redirect_stdout(sys.stderr):
+        payload = _run_all()
+    print(json.dumps(payload), file=real_stdout)
+
+
+def _run_all():
     from ganecdotes_tpu.runtime.compile_cache import (
         enable_persistent_compilation_cache,
     )
@@ -739,17 +756,13 @@ def main():
         print(f"bench: baggan stats failed ({e!r})", file=sys.stderr)
         extra["baggan_img_per_s"] = None
 
-    print(
-        json.dumps(
-            {
-                "metric": "256x256 generate+segment throughput (hfc_with_swav path)",
-                "value": round(best, 2),
-                "unit": "img/s/chip",
-                "vs_baseline": round(best / base, 2),
-                "extra": extra,
-            }
-        )
-    )
+    return {
+        "metric": "256x256 generate+segment throughput (hfc_with_swav path)",
+        "value": round(best, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(best / base, 2),
+        "extra": extra,
+    }
 
 
 def _emit_error(stage, exc):

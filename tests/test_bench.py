@@ -134,3 +134,24 @@ def test_headline_only_mode(capsys, monkeypatch):
     assert rec["unit"] == "img/s/chip" and rec["value"] > 0
     assert rec["up_conv_impl"] == "subpixel"
     assert rec["styled_conv_impl"] == "xla"
+
+
+def test_main_emits_exactly_one_json_line(capsys, monkeypatch):
+    """Stages that write to stdout (the BagGAN reference-parity logger
+    does) must not break the driver's one-JSON-line contract: main()
+    runs everything under redirect_stdout(stderr) and prints only the
+    payload to the real stdout."""
+    import json
+
+    def fake_run_all():
+        print("logger noise that must land on stderr")
+        return {"metric": "m", "value": 1.0, "unit": "img/s/chip",
+                "vs_baseline": 2.0, "extra": {}}
+
+    monkeypatch.setattr(bench, "_run_all", fake_run_all)
+    bench.main()
+    cap = capsys.readouterr()
+    lines = [ln for ln in cap.out.strip().splitlines() if ln]
+    assert len(lines) == 1, cap.out
+    assert json.loads(lines[0])["value"] == 1.0
+    assert "logger noise" in cap.err
