@@ -171,7 +171,7 @@ def build(batch, dtype, method="swav"):
 
     elif method == "hfc_kmeans":
         from ganecdotes_tpu.selfsup.augmentor import group_features_by_block
-        from ganecdotes_tpu.selfsup.kmeans import hfc_predict_from_features
+        from ganecdotes_tpu.selfsup.kmeans import hfc_segment_fcn
 
         # hfc_kmeans_config: 5 layers, [4,8,16,32,64] clusters, out 256
         cpl = [4, 8, 16, 32, 64]
@@ -191,10 +191,12 @@ def build(batch, dtype, method="swav"):
         def fn(gen_params, centers, seg_params, latents):
             img, feats = synth(gen_params, latents)
             groups = group_features_by_block(feats, skip_const=True)
-            z, _ = hfc_predict_from_features(
-                groups[:n_layers], centers, cpl, 256, hier_encode=False
+            # fused flat path: native-res one-hot maps through the
+            # polyphase first conv — the (B, 256², Σk) one-hot concat
+            # (~2/3 of the unfused program's device time) never exists
+            logits, _ = hfc_segment_fcn(
+                groups[:n_layers], centers, cpl, 256, seg_params, "S"
             )
-            logits = one_shot_segmentor_apply(seg_params, z, "S")
             return img, jnp.argmax(logits, axis=-1)
 
     elif method in ("repurposegan", "datasetgan"):

@@ -743,7 +743,10 @@ class OneShotPipeline:
             # program, same as the other methods (ref host-orchestrates this,
             # baseline/hfc_kmeans/segmentor.py:169-230)
             from ganecdotes_tpu.selfsup.augmentor import group_features_by_block
-            from ganecdotes_tpu.selfsup.kmeans import hfc_predict_from_features
+            from ganecdotes_tpu.selfsup.kmeans import (
+                hfc_predict_from_features,
+                hfc_segment_fcn,
+            )
 
             pre = self.preprocessor
             pre.ensure_loaded()
@@ -775,10 +778,22 @@ class OneShotPipeline:
                     randomize_noise=False, dtype=dtype,
                 )
                 groups = group_features_by_block(feats, skip_const=True)
-                z, _ = hfc_predict_from_features(
-                    groups[:n_layers], centers, cpl, out_size, hier, beliefs
-                )
-                logits = one_shot_segmentor_apply(seg_params, z, seg_size)
+                if hier:
+                    # belief propagation re-argmaxes at full resolution
+                    # between matmuls (nonlinear) — unfusable as-is
+                    z, _ = hfc_predict_from_features(
+                        groups[:n_layers], centers, cpl, out_size, hier,
+                        beliefs,
+                    )
+                    logits = one_shot_segmentor_apply(seg_params, z, seg_size)
+                else:
+                    # flat encoding is layerwise-affine in the one-hot maps:
+                    # fuse the first head conv into the level pyramid
+                    # (kmeans.hfc_segment_fcn — parity-tested exact)
+                    logits, _ = hfc_segment_fcn(
+                        groups[:n_layers], centers, cpl, out_size,
+                        seg_params, seg_size,
+                    )
                 # the displayed image uses the model config's truncation,
                 # exactly like get_image_from_latent
                 img, _ = generator_forward(

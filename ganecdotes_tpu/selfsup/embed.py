@@ -305,10 +305,15 @@ def _polyphase_conv3x3_up(z, head_w, f, dt):
     return yc.transpose(0, 1, 3, 2, 4, 5).reshape(b_, f * r, f * rw, c_out)
 
 
-def concat_segment_fcn(features, seg_params, size, hlen=None, n_layers=None):
+def concat_segment_fcn(features, seg_params, size, hlen=None, n_layers=None,
+                       out_hw=None):
     """FCN-head logits over the raw upsample+concat features, first conv
     fused into the level pyramid (the RepurposeGAN serving path,
     ref baseline/repurposegan/segmentor.py + one_shot_pipeline.py:615).
+
+    ``out_hw`` overrides the emission resolution (default: the finest
+    feature's). The hfc_kmeans fused path emits at the config's out_size
+    (256) from one-hot maps whose finest native resolution is 64.
 
     A conv's input-channel slices are independent, so for the concat of
     nearest-upsampled levels
@@ -331,8 +336,11 @@ def concat_segment_fcn(features, seg_params, size, hlen=None, n_layers=None):
 
     if n_layers is not None:
         features = features[:n_layers]
-    h = max(f.shape[1] for f in features)
-    w = max(f.shape[2] for f in features)
+    if out_hw is not None:
+        h, w = out_hw
+    else:
+        h = max(f.shape[1] for f in features)
+        w = max(f.shape[2] for f in features)
     w0 = seg_params[0]["weight"]  # (3, 3, Σc[:hlen], C1) HWIO
     b0 = seg_params[0]["bias"]
     total = hlen if hlen is not None else w0.shape[2]

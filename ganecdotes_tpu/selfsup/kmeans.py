@@ -546,6 +546,43 @@ def hfc_predict_from_features(groups, centers, clusters_per_layer, out_size,
     return out_preds * 2 - 1, cluster_labels
 
 
+def hfc_segment_fcn(groups, centers, clusters_per_layer, out_size,
+                    seg_params, size):
+    """Fused flat-HFC serving: cluster-assign → segment without the full-
+    resolution one-hot concat.
+
+    Exactly equals ``one_shot_segmentor_apply(seg_params,
+    hfc_predict_from_features(..., hier_encode=False)[0], size)``: the
+    per-layer features are affine one-hot maps (2·onehot−1) nearest-
+    upsampled to out_size, nearest-up commutes with the per-pixel affine,
+    and the head's first conv distributes over the concat's channel
+    slices — so each layer feeds ``embed.concat_segment_fcn``'s polyphase
+    machinery at its NATIVE resolution (4²…64²). The (B, out², Σk)
+    one-hot concat and the per-layer label upsamples — ~2/3 of the
+    unfused program's device time at 256² batch 32 (op-ranked trace,
+    scripts/method_profile.py) — never materialize.
+
+    Returns (logits, per-layer native-resolution label maps) — the same
+    labels hfc_predict_from_features yields.
+    """
+    from ganecdotes_tpu.selfsup.embed import concat_segment_fcn
+
+    maps, cluster_labels = [], []
+    dt = groups[0].dtype
+    for n, (feat, c) in enumerate(zip(groups, centers)):
+        b, h, w, _ = feat.shape
+        labels = kmeans_predict(feat.reshape(-1, feat.shape[-1]), c)
+        labels = labels.reshape(b, h, w)
+        cluster_labels.append(labels[:, None, :, :])
+        maps.append(
+            jax.nn.one_hot(labels, clusters_per_layer[n], dtype=dt) * 2 - 1
+        )
+    logits = concat_segment_fcn(
+        maps, seg_params, size, out_hw=(out_size, out_size)
+    )
+    return logits, cluster_labels
+
+
 # ---------------------------------------------------------------------------
 # preprocessor (reference-API-compatible)
 # ---------------------------------------------------------------------------

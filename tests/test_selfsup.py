@@ -1074,3 +1074,50 @@ def test_resize_labels_broadcast_matches_gather():
         exp = np.asarray(labels)[:, ri][:, :, ci]
         np.testing.assert_array_equal(got, exp)
         assert got.dtype == np.asarray(labels).dtype
+
+
+def test_hfc_segment_fcn_matches_unfused_flat_path():
+    """Fused flat-HFC serving (native-res one-hot maps through the
+    polyphase first conv) equals the unfused predict→head composition —
+    logits and per-layer labels — at a 512-model-like mixed pyramid too."""
+    import jax
+    import jax.numpy as jnp
+
+    from ganecdotes_tpu.selfsup.heads import (
+        init_one_shot_segmentor,
+        one_shot_segmentor_apply,
+    )
+    from ganecdotes_tpu.selfsup.kmeans import (
+        hfc_predict_from_features,
+        hfc_segment_fcn,
+    )
+
+    rng = np.random.RandomState(0)
+    for out_size, size in [(32, "S"), (64, "XS")]:
+        cpl = [3, 5, 7]
+        groups = [
+            jnp.asarray(rng.randn(2, 4, 4, 6).astype(np.float32)),
+            jnp.asarray(rng.randn(2, 8, 8, 5).astype(np.float32)),
+            jnp.asarray(rng.randn(2, 16, 16, 4).astype(np.float32)),
+        ]
+        centers = [
+            jnp.asarray(rng.randn(k, g.shape[-1]).astype(np.float32))
+            for k, g in zip(cpl, groups)
+        ]
+        seg = init_one_shot_segmentor(
+            jax.random.PRNGKey(1), sum(cpl), 4, size
+        )
+
+        z, labels_ref = hfc_predict_from_features(
+            groups, centers, cpl, out_size, hier_encode=False
+        )
+        exp = one_shot_segmentor_apply(seg, z, size)
+
+        got, labels = jax.jit(
+            lambda g, c, s: hfc_segment_fcn(g, c, cpl, out_size, s, size)
+        )(groups, centers, seg)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(exp), rtol=2e-4, atol=2e-4
+        )
+        for a, b in zip(labels, labels_ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
