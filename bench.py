@@ -190,7 +190,11 @@ def build(batch, dtype, method="swav"):
 
         def fn(gen_params, centers, seg_params, latents):
             img, feats = synth(gen_params, latents)
-            groups = group_features_by_block(feats, skip_const=True)
+            # concat=False: assignment runs per channel part, the per-level
+            # group-concat copies never reach HBM
+            groups = group_features_by_block(
+                feats, skip_const=True, concat=False
+            )
             # fused flat path: native-res one-hot maps through the
             # polyphase first conv — the (B, 256², Σk) one-hot concat
             # (~2/3 of the unfused program's device time) never exists

@@ -777,7 +777,12 @@ class OneShotPipeline:
                     truncation=p_trunc, truncation_latent=pre_mean,
                     randomize_noise=False, dtype=dtype,
                 )
-                groups = group_features_by_block(feats, skip_const=True)
+                # concat=False: groups stay as channel-part tuples; the
+                # kmeans assignment distributes over the split and the
+                # per-level concat copies never reach HBM
+                groups = group_features_by_block(
+                    feats, skip_const=True, concat=False
+                )
                 if hier:
                     # belief propagation re-argmaxes at full resolution
                     # between matmuls (nonlinear) — unfusable as-is

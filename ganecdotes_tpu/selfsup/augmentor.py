@@ -47,17 +47,27 @@ def block_row_std(layer_no, n_layers, perturb_std, n_latent):
     return jnp.where(sel, std_val, 0.0)
 
 
-def group_features_by_block(features, skip_const=False):
+def group_features_by_block(features, skip_const=False, concat=True):
     """Group raw per-conv features into per-block pairs (NHWC, channel concat).
 
     [f0, cat(f1,f2), cat(f3,f4), ...]; skip_const drops f0
     (image_augmentor.py:80-90).
+
+    concat=False returns each group as a TUPLE of its parts instead of a
+    concatenated array — for consumers that distribute over the channel
+    split (kmeans.kmeans_predict_parts / hfc_segment_fcn), so the per-level
+    concat copies never reach HBM.
     """
     n_blocks = len(features) // 2
-    pairs = [
-        jnp.concatenate([features[2 * n + 1], features[2 * n + 2]], axis=-1)
-        for n in range(n_blocks)
-    ]
+    if concat:
+        pairs = [
+            jnp.concatenate([features[2 * n + 1], features[2 * n + 2]], axis=-1)
+            for n in range(n_blocks)
+        ]
+    else:
+        pairs = [
+            (features[2 * n + 1], features[2 * n + 2]) for n in range(n_blocks)
+        ]
     return pairs if skip_const else [features[0]] + pairs
 
 

@@ -174,12 +174,32 @@ def load_belief_file(path):
 
 @functools.partial(jax.jit, static_argnames=())
 def kmeans_predict(x, centers):
-    d2 = (
-        jnp.sum(x * x, axis=1, keepdims=True)
-        - 2.0 * (x @ centers.T)
-        + jnp.sum(centers * centers, axis=1)[None, :]
-    )
-    return jnp.argmin(d2, axis=1)
+    # argmin_k ||x - c_k||² == argmin_k (||c_k||² - 2 x·c_k): the per-row
+    # ||x||² is constant under the argmin, and dropping it skips a full
+    # read-reduce of x (x is the (N, 512..1024) feature tensor — the reduce
+    # was ~12 ms of the 392 ms hfc serving batch at 256, trace-ranked).
+    score = jnp.sum(centers * centers, axis=1)[None, :] - 2.0 * (x @ centers.T)
+    return jnp.argmin(score, axis=1)
+
+
+def kmeans_predict_parts(parts, centers):
+    """``kmeans_predict`` over a channel-split input, without the concat.
+
+    parts: sequence of (N, c_i) matrices whose channel concat is the
+    clustered feature (Σc_i == centers.shape[1]). The score matmul
+    distributes over the channel split — ``x @ cᵀ = Σ_i x_i @ c_iᵀ`` — so
+    the (N, Σc) concatenated tensor (a pure HBM copy the hfc serving
+    program pays per level, per batch) never materializes. Same argmin as
+    ``kmeans_predict(concat(parts), centers)`` up to fp summation order.
+    """
+    score = jnp.sum(centers * centers, axis=1)[None, :]
+    off = 0
+    for p in parts:
+        c = p.shape[-1]
+        score = score - 2.0 * (p @ centers[:, off:off + c].T)
+        off += c
+    assert off == centers.shape[1], (off, centers.shape)
+    return jnp.argmin(score, axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -516,10 +536,16 @@ def hfc_predict_from_features(groups, centers, clusters_per_layer, out_size,
     stays one device program for hfc_kmeans too.
     """
     cluster_maps, cluster_labels = [], []
-    dt = groups[0].dtype
+    first = groups[0]
+    dt = (first[0] if isinstance(first, (tuple, list)) else first).dtype
     for n, (feat, c) in enumerate(zip(groups, centers)):
-        b, h, w, _ = feat.shape
-        labels = kmeans_predict(feat.reshape(-1, feat.shape[-1]), c)
+        # tuple entries = channel parts (group_features_by_block concat=False):
+        # assignment distributes over the split, the concat never exists
+        parts = feat if isinstance(feat, (tuple, list)) else (feat,)
+        b, h, w, _ = parts[0].shape
+        labels = kmeans_predict_parts(
+            [p.reshape(-1, p.shape[-1]) for p in parts], c
+        )
         labels = labels.reshape(b, h, w)
         # resize the integer label map, THEN one-hot: identical result
         # (nearest resize commutes with per-pixel one-hot) but the resize is
@@ -564,14 +590,24 @@ def hfc_segment_fcn(groups, centers, clusters_per_layer, out_size,
 
     Returns (logits, per-layer native-resolution label maps) — the same
     labels hfc_predict_from_features yields.
+
+    Each ``groups`` entry may be a tuple/list of channel parts instead of
+    one concatenated array (``group_features_by_block(..., concat=False)``):
+    the assignment then runs as per-part matmuls (kmeans_predict_parts) and
+    the per-level channel-concat copies — ~32 ms of the 392 ms batch-256
+    serving program (copy/pad ops, trace-ranked) — never exist.
     """
     from ganecdotes_tpu.selfsup.embed import concat_segment_fcn
 
     maps, cluster_labels = [], []
-    dt = groups[0].dtype
+    first = groups[0]
+    dt = (first[0] if isinstance(first, (tuple, list)) else first).dtype
     for n, (feat, c) in enumerate(zip(groups, centers)):
-        b, h, w, _ = feat.shape
-        labels = kmeans_predict(feat.reshape(-1, feat.shape[-1]), c)
+        parts = feat if isinstance(feat, (tuple, list)) else (feat,)
+        b, h, w, _ = parts[0].shape
+        labels = kmeans_predict_parts(
+            [p.reshape(-1, p.shape[-1]) for p in parts], c
+        )
         labels = labels.reshape(b, h, w)
         cluster_labels.append(labels[:, None, :, :])
         maps.append(

@@ -1121,3 +1121,63 @@ def test_hfc_segment_fcn_matches_unfused_flat_path():
         )
         for a, b in zip(labels, labels_ref):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_kmeans_predict_parts_matches_concat():
+    """Channel-split assignment (kmeans_predict_parts) gives the same labels
+    as kmeans_predict over the concatenated features — incl. through
+    group_features_by_block(concat=False) tuples in hfc_segment_fcn and
+    hfc_predict_from_features, so the serving paths that skip the group
+    concats are label- and logit-identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from ganecdotes_tpu.selfsup.heads import init_one_shot_segmentor
+    from ganecdotes_tpu.selfsup.kmeans import (
+        hfc_predict_from_features,
+        hfc_segment_fcn,
+        kmeans_predict,
+        kmeans_predict_parts,
+    )
+
+    rng = np.random.RandomState(7)
+    x1 = jnp.asarray(rng.randn(300, 6).astype(np.float32))
+    x2 = jnp.asarray(rng.randn(300, 5).astype(np.float32))
+    c = jnp.asarray(rng.randn(4, 11).astype(np.float32))
+    got = np.asarray(jax.jit(kmeans_predict_parts)([x1, x2], c))
+    exp = np.asarray(kmeans_predict(jnp.concatenate([x1, x2], axis=-1), c))
+    np.testing.assert_array_equal(got, exp)
+
+    # parts-tuples through the fused and unfused hfc paths
+    cpl = [3, 5]
+    parts = [
+        (jnp.asarray(rng.randn(2, 4, 4, 4).astype(np.float32)),
+         jnp.asarray(rng.randn(2, 4, 4, 2).astype(np.float32))),
+        (jnp.asarray(rng.randn(2, 8, 8, 3).astype(np.float32)),
+         jnp.asarray(rng.randn(2, 8, 8, 2).astype(np.float32))),
+    ]
+    groups = [jnp.concatenate(p, axis=-1) for p in parts]
+    centers = [
+        jnp.asarray(rng.randn(k, g.shape[-1]).astype(np.float32))
+        for k, g in zip(cpl, groups)
+    ]
+    seg = init_one_shot_segmentor(jax.random.PRNGKey(2), sum(cpl), 4, "XS")
+
+    got_l, got_lab = jax.jit(
+        lambda g, c_, s: hfc_segment_fcn(g, c_, cpl, 16, s, "XS")
+    )(parts, centers, seg)
+    exp_l, exp_lab = hfc_segment_fcn(groups, centers, cpl, 16, seg, "XS")
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(exp_l),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(got_lab, exp_lab):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    got_z, got_lab = jax.jit(
+        lambda g, c_: hfc_predict_from_features(g, c_, cpl, 16, True, None)
+    )(parts, centers)
+    exp_z, exp_lab = hfc_predict_from_features(groups, centers, cpl, 16,
+                                               True, None)
+    np.testing.assert_allclose(np.asarray(got_z), np.asarray(exp_z),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(got_lab, exp_lab):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
