@@ -598,8 +598,9 @@ def hfc_segment_fcn(groups, centers, clusters_per_layer, out_size,
     serving program (copy/pad ops, trace-ranked) — never exist.
     """
     from ganecdotes_tpu.selfsup.embed import concat_segment_fcn
+    from ganecdotes_tpu.selfsup.heads import one_shot_segmentor_apply
 
-    maps, cluster_labels = [], []
+    maps, cluster_labels, all_labels = [], [], []
     first = groups[0]
     dt = (first[0] if isinstance(first, (tuple, list)) else first).dtype
     for n, (feat, c) in enumerate(zip(groups, centers)):
@@ -610,6 +611,31 @@ def hfc_segment_fcn(groups, centers, clusters_per_layer, out_size,
         )
         labels = labels.reshape(b, h, w)
         cluster_labels.append(labels[:, None, :, :])
+        all_labels.append(labels)
+
+    total = sum(clusters_per_layer[: len(groups)])
+    c_out = seg_params[0]["weight"].shape[-1]
+    if seg_params[0]["weight"].ndim == 4 and total <= 2 * c_out:
+        # Narrow-concat case (embed.concat_segment_fcn's traffic policy):
+        # the affine one-hot concat is a MULTI-HOT of offset label maps —
+        # concat[p, c] = 2·Σ_l [lab_l[p] + off_l == c] − 1 with disjoint
+        # channel slices — so build it as ONE fused elementwise write over
+        # broadcast-upsampled label maps. A per-level one_hot + channel
+        # concatenate writes the same 4.2 GB tensor through misaligned
+        # lane offsets (4/12/28/60): the batch-256 concatenate ran at
+        # ~124 GB/s, 34 ms of the 329 ms program (trace-ranked).
+        ch = jnp.arange(total, dtype=jnp.int32)
+        acc = None
+        off = 0
+        for n, labels in enumerate(all_labels):
+            lu = _resize_labels(labels.astype(jnp.int32), out_size)
+            ind = lu[..., None] == (ch - off)
+            acc = ind if acc is None else acc | ind
+            off += clusters_per_layer[n]
+        z = (2 * acc.astype(dt) - 1)
+        return one_shot_segmentor_apply(seg_params, z, size), cluster_labels
+
+    for n, labels in enumerate(all_labels):
         maps.append(
             jax.nn.one_hot(labels, clusters_per_layer[n], dtype=dt) * 2 - 1
         )
