@@ -216,8 +216,22 @@ def simclr_predict_segment(ssl_params, features, seg_params, seg_size, hlen,
     )
     norms = feature_norm_map(features, hlen)[..., None]
     z = z * (1.0 / jnp.maximum(norms, 1e-12))
-    mu = z.mean(axis=(1, 2), keepdims=True)
-    var = z.var(axis=(1, 2), keepdims=True)
+    # one-pass batch stats: jnp.mean + jnp.var chain two sequential full
+    # reads of the (B, H, W, 512) z tensor (var needs mean first — ~28 ms
+    # of the 167 ms batch-128 program, trace-ranked); E[z²]−E[z]² makes
+    # the two reductions independent siblings over the same operand, which
+    # XLA fuses into a single streamed pass. f32 accumulation; post-
+    # normalize z is unit-scale so the cancellation loses ~1e-6 relative —
+    # far inside the bf16 path's tolerance (cross-framework IoU pinned).
+    zf = z.astype(jnp.float32)
+    n_px = z.shape[1] * z.shape[2]
+    mu_f = jnp.sum(zf, axis=(1, 2), keepdims=True) / n_px
+    var_f = (jnp.sum(jnp.square(zf), axis=(1, 2), keepdims=True) / n_px
+             - mu_f * mu_f)
+    # stats cast back to z.dtype — the mean/var path's output dtypes —
+    # so every downstream op keeps its previous precision/layout
+    mu = mu_f.astype(z.dtype)
+    var = var_f.astype(z.dtype)
     h = (
         (z - mu) * jax.lax.rsqrt(var + 1e-5)
         * ssl_params["bn"]["gamma"] + ssl_params["bn"]["beta"]
