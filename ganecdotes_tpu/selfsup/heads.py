@@ -132,23 +132,28 @@ def pixel_classifier_from_first(params, state, v, eps=1e-5):
     path fold the first Linear into the feature-level decomposition
     (``embed.project_feature_maps``) so the (B, H, W, Σc) concat tensor
     never materializes — a per-pixel Linear commutes with nearest
-    upsampling. Matches ``pixel_classifier_apply(train=False)`` exactly.
+    upsampling. Matches ``pixel_classifier_apply(train=False)`` up to fp
+    reassociation: eval-mode BN is a per-channel affine sitting between a
+    ReLU and the next Linear, so it folds INTO that Linear's weights —
+    (u·s + t) @ W + b == u @ (s[:,None]·W) + (t @ W + b). The folded form
+    runs the whole tail in ``v.dtype`` as relu→dot→relu→dot: the f32
+    affine passes over the (B, H, W, 32/128) hidden maps (the gamma
+    multiply promoted the old chain to f32) never exist, and the weight
+    folds are (C_in, C_out)-sized host math.
     """
-    v2 = v
+    dt = v.dtype
+    out = jnp.maximum(v, 0.0)
     for i in range(len(params) - 1):
-        # layer 0's Linear already happened (it IS ``v``); later hidden
-        # layers apply their Linear here, then the shared ReLU -> BN
-        if i > 0:
-            p = params[i]
-            v2 = v2 @ p["weight"].astype(v2.dtype) + p["bias"].astype(v2.dtype)
-        v2 = jnp.maximum(v2, 0.0)
         bn = state[i]
-        v2 = (
-            (v2 - bn["mean"]) * jax.lax.rsqrt(bn["var"] + eps) * bn["gamma"]
-            + bn["beta"]
-        )
-    p = params[-1]
-    return v2 @ p["weight"].astype(v2.dtype) + p["bias"].astype(v2.dtype)
+        s = bn["gamma"] * jax.lax.rsqrt(bn["var"] + eps)
+        t = bn["beta"] - bn["mean"] * s
+        p = params[i + 1]
+        w = p["weight"] * s[:, None]
+        b = p["bias"] + t @ p["weight"]
+        out = out @ w.astype(dt) + b.astype(dt)
+        if i + 1 < len(params) - 1:
+            out = jnp.maximum(out, 0.0)
+    return out
 
 
 def pixel_classifier_apply(params, state, x, train=False, momentum=0.1, eps=1e-5):
