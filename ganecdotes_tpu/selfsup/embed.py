@@ -305,6 +305,21 @@ def _polyphase_conv3x3_up(z, head_w, f, dt):
     return yc.transpose(0, 1, 3, 2, 4, 5).reshape(b_, f * r, f * rw, c_out)
 
 
+def narrow_first_conv(total_in, c_out):
+    """Traffic policy: materialized nearest-up concat vs polyphase lift.
+
+    The polyphase form exists to keep a WIDE (B, H, W, Σc) concat out of
+    HBM (Σc≈4.9k for repurposegan — ~600 MB/img bf16), but its f²·C_out
+    phase tensors + depth-to-space cost 2·H²·C_out of extra HBM round trip
+    per lifted group. When the input concat is NARROWER than that
+    (Σc ≤ 2·C_out), the direct form moves less data. Measured on v5e
+    (hfc_kmeans, Σc=124, C_out=128): 701 → 803 img/s @ batch 256 (+14.5%).
+    Conv FLOPs are identical either way. Shared by concat_segment_fcn and
+    kmeans.hfc_segment_fcn so both sides of the same program agree.
+    """
+    return total_in <= 2 * c_out
+
+
 def concat_segment_fcn(features, seg_params, size, hlen=None, n_layers=None,
                        out_hw=None):
     """FCN-head logits over the raw upsample+concat features, first conv
@@ -347,19 +362,12 @@ def concat_segment_fcn(features, seg_params, size, hlen=None, n_layers=None,
     dt = features[0].dtype
     cutoff = min(h // 4, 64)
 
-    # Narrow-input policy: the polyphase form exists to keep a WIDE
-    # (B, H, W, Σc) concat out of HBM (Σc≈4.9k for repurposegan — ~600
-    # MB/img bf16), but its f²·C_out phase tensors + depth-to-space cost
-    # 2·H²·C_out of extra HBM round trip per lifted group. When the input
-    # concat is NARROWER than that (Σc ≤ 2·C_out), materializing the
-    # nearest-up concat and running the plain first conv moves less data
-    # — the integer-factor resize is a broadcast that fuses into the
-    # concat, and the d2s relayouts (2 × 4.3 GB copies in the batch-256
-    # hfc program, trace-ranked) disappear. Measured on v5e (hfc_kmeans,
-    # Σc=124, C_out=128): 701 → 803 img/s @ batch 256 (+14.5%), 618 → 630
-    # @ batch 32. Conv FLOPs are identical either way; this is purely a
-    # traffic policy.
-    if total <= 2 * w0.shape[3]:
+    if narrow_first_conv(total, w0.shape[3]):
+        # Narrow-input policy (see narrow_first_conv): materialize the
+        # nearest-up concat and run the plain first conv — the integer-
+        # factor resizes are broadcasts that fuse into the concat, and the
+        # polyphase d2s relayouts (2 × 4.3 GB copies in the batch-256 hfc
+        # program, trace-ranked) disappear.
         ups, ups_w, off = [], [], 0
         for f in features:
             c = f.shape[-1]
@@ -375,42 +383,35 @@ def concat_segment_fcn(features, seg_params, size, hlen=None, n_layers=None,
             jnp.concatenate(ups_w, axis=2).astype(dt),
             dilation=1, padding=1,
         )
-        out = out + b0.astype(dt)
-        dilations = DILATIONS[size]
-        for p, d in zip(seg_params[1:], dilations[1:]):
-            out = leaky_relu(out)
-            out = conv2d_dilated_nhwc(out, p["weight"], dilation=d, padding=d)
-            out = out + p["bias"].astype(out.dtype)
-        return out
-
-    out = None
-    lift, lift_w = [], []  # levels merged at the cutoff resolution
-    off = 0
-    for f in features:
-        c = f.shape[-1]
-        use = max(0, min(c, total - off))
-        w_sl = w0[:, :, off : off + use, :]
-        off += c
-        if use == 0:
-            continue
-        r = f.shape[1]
-        if r == h and f.shape[2] == w:
-            y = conv2d_dilated_nhwc(f[..., :use], w_sl.astype(dt),
-                                    dilation=1, padding=1)
-        elif r > cutoff:
-            y = _polyphase_conv3x3_up(f[..., :use], w_sl, h // r, dt)
-        else:
-            lift.append(
-                resize_nearest(f[..., :use], (cutoff, cutoff * w // h))
-            )
-            lift_w.append(w_sl)
-            continue
-        out = y if out is None else out + y
-    if lift:
-        zc = jnp.concatenate(lift, axis=-1)
-        wc = jnp.concatenate(lift_w, axis=2)
-        y = _polyphase_conv3x3_up(zc, wc, h // cutoff, dt)
-        out = y if out is None else out + y
+    else:
+        out = None
+        lift, lift_w = [], []  # levels merged at the cutoff resolution
+        off = 0
+        for f in features:
+            c = f.shape[-1]
+            use = max(0, min(c, total - off))
+            w_sl = w0[:, :, off : off + use, :]
+            off += c
+            if use == 0:
+                continue
+            r = f.shape[1]
+            if r == h and f.shape[2] == w:
+                y = conv2d_dilated_nhwc(f[..., :use], w_sl.astype(dt),
+                                        dilation=1, padding=1)
+            elif r > cutoff:
+                y = _polyphase_conv3x3_up(f[..., :use], w_sl, h // r, dt)
+            else:
+                lift.append(
+                    resize_nearest(f[..., :use], (cutoff, cutoff * w // h))
+                )
+                lift_w.append(w_sl)
+                continue
+            out = y if out is None else out + y
+        if lift:
+            zc = jnp.concatenate(lift, axis=-1)
+            wc = jnp.concatenate(lift_w, axis=2)
+            y = _polyphase_conv3x3_up(zc, wc, h // cutoff, dt)
+            out = y if out is None else out + y
 
     out = out + b0.astype(dt)
     dilations = DILATIONS[size]

@@ -182,6 +182,7 @@ def kmeans_predict(x, centers):
     return jnp.argmin(score, axis=1)
 
 
+@jax.jit
 def kmeans_predict_parts(parts, centers):
     """``kmeans_predict`` over a channel-split input, without the concat.
 
@@ -192,13 +193,17 @@ def kmeans_predict_parts(parts, centers):
     program pays per level, per batch) never materializes. Same argmin as
     ``kmeans_predict(concat(parts), centers)`` up to fp summation order.
     """
+    if sum(p.shape[-1] for p in parts) != centers.shape[1]:
+        raise ValueError(
+            f"parts widths {[p.shape[-1] for p in parts]} do not sum to "
+            f"the centers' feature dim {centers.shape[1]}"
+        )
     score = jnp.sum(centers * centers, axis=1)[None, :]
     off = 0
     for p in parts:
         c = p.shape[-1]
         score = score - 2.0 * (p @ centers[:, off:off + c].T)
         off += c
-    assert off == centers.shape[1], (off, centers.shape)
     return jnp.argmin(score, axis=1)
 
 
@@ -613,9 +618,15 @@ def hfc_segment_fcn(groups, centers, clusters_per_layer, out_size,
         cluster_labels.append(labels[:, None, :, :])
         all_labels.append(labels)
 
+    from ganecdotes_tpu.selfsup.embed import narrow_first_conv
+
     total = sum(clusters_per_layer[: len(groups)])
-    c_out = seg_params[0]["weight"].shape[-1]
-    if seg_params[0]["weight"].ndim == 4 and total <= 2 * c_out:
+    w0 = seg_params[0]["weight"]
+    # the multi-hot fast path builds z with exactly sum(cpl) channels, so
+    # it additionally requires the head's first conv to expect that width
+    # (the fallback tolerates head/feature skew via per-level slicing)
+    if (w0.ndim == 4 and w0.shape[2] == total
+            and narrow_first_conv(total, w0.shape[-1])):
         # Narrow-concat case (embed.concat_segment_fcn's traffic policy):
         # the affine one-hot concat is a MULTI-HOT of offset label maps —
         # concat[p, c] = 2·Σ_l [lab_l[p] + off_l == c] − 1 with disjoint

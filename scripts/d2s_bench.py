@@ -54,12 +54,9 @@ def timed(jfn, x, iters=30):
 
 
 def main():
-    B, r, f, C = 32, 64, 4, 128
-    iters = 30
-    if len(sys.argv) > 4:
-        B, r, f, C = map(int, sys.argv[1:5])
-    if len(sys.argv) > 5:
-        iters = int(sys.argv[5])
+    defaults = [32, 64, 4, 128, 30]  # B r f C iters
+    args = [int(a) for a in sys.argv[1:6]]
+    B, r, f, C, iters = args + defaults[len(args):]
 
     rw = r
     key = jax.random.PRNGKey(0)

@@ -1181,3 +1181,91 @@ def test_kmeans_predict_parts_matches_concat():
                                rtol=1e-5, atol=1e-5)
     for a, b in zip(got_lab, exp_lab):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pixel_classifier_from_first_bf16_serving_dtype():
+    """The serving path feeds bf16 v1 (bench.py datasetgan); the folded
+    from-first tail runs entirely in v.dtype now, so pin the bf16 path:
+    logits stay bf16 end-to-end and argmax labels agree with the f32
+    eval-mode oracle on ≥99% of pixels (residual = bf16 rounding flipping
+    genuine near-ties)."""
+    import jax
+
+    from ganecdotes_tpu.selfsup.embed import (
+        pixel_feature_maps,
+        project_feature_maps,
+    )
+    from ganecdotes_tpu.selfsup.heads import (
+        init_pixel_classifier,
+        pixel_classifier_apply,
+        pixel_classifier_from_first,
+    )
+
+    rng = np.random.RandomState(11)
+    shapes = [(2, 4, 4, 24), (2, 8, 8, 24), (2, 16, 16, 12)]
+    feats32 = [jnp.asarray(rng.randn(*s).astype(np.float32)) for s in shapes]
+    in_ch = sum(s[-1] for s in shapes)
+    params, state = init_pixel_classifier(jax.random.PRNGKey(6), in_ch, 5)
+    state = [
+        {"mean": s["mean"] + 0.2, "var": s["var"] * 1.3,
+         "gamma": s["gamma"] * 1.1, "beta": s["beta"] - 0.05}
+        for s in state
+    ]
+
+    x = pixel_feature_maps(feats32)
+    want, _ = pixel_classifier_apply(params, state, x, train=False)
+
+    feats16 = [f.astype(jnp.bfloat16) for f in feats32]
+    v1 = project_feature_maps(feats16, params[0]["weight"])
+    v1 = v1 + params[0]["bias"].astype(v1.dtype)
+    got = pixel_classifier_from_first(params, state, v1)
+    assert got.dtype == jnp.bfloat16
+    agree = (np.asarray(got, np.float32).argmax(-1)
+             == np.asarray(want).argmax(-1)).mean()
+    assert agree >= 0.99, agree
+
+
+def test_hfc_segment_fcn_wide_path_matches_unfused():
+    """sum(cpl) > 2*C_out forces the POLYPHASE fallback (per-level one-hot
+    maps through concat_segment_fcn) — the branch every wide config serves
+    through; pin it against the unfused predict→head composition (the
+    narrow multi-hot branch is covered by the other two parity tests)."""
+    import jax
+
+    from ganecdotes_tpu.selfsup.embed import narrow_first_conv
+    from ganecdotes_tpu.selfsup.heads import (
+        init_one_shot_segmentor,
+        one_shot_segmentor_apply,
+    )
+    from ganecdotes_tpu.selfsup.kmeans import (
+        hfc_predict_from_features,
+        hfc_segment_fcn,
+    )
+
+    rng = np.random.RandomState(4)
+    cpl = [9, 9, 9]  # total 27 > 2*12 (XXS head) -> wide fallback
+    groups = [
+        jnp.asarray(rng.randn(2, 4, 4, 6).astype(np.float32)),
+        jnp.asarray(rng.randn(2, 8, 8, 5).astype(np.float32)),
+        jnp.asarray(rng.randn(2, 16, 16, 4).astype(np.float32)),
+    ]
+    centers = [
+        jnp.asarray(rng.randn(k, g.shape[-1]).astype(np.float32))
+        for k, g in zip(cpl, groups)
+    ]
+    seg = init_one_shot_segmentor(jax.random.PRNGKey(3), sum(cpl), 4, "XXS")
+    assert not narrow_first_conv(sum(cpl), seg[0]["weight"].shape[-1])
+
+    z, labels_ref = hfc_predict_from_features(
+        groups, centers, cpl, 32, hier_encode=False
+    )
+    exp = one_shot_segmentor_apply(seg, z, "XXS")
+
+    got, labels = jax.jit(
+        lambda g, c, s: hfc_segment_fcn(g, c, cpl, 32, s, "XXS")
+    )(groups, centers, seg)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(exp), rtol=2e-4, atol=2e-4
+    )
+    for a, b in zip(labels, labels_ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
