@@ -353,6 +353,26 @@ class BagGANHQ(GANBaseModel):
             raise NotImplementedError(
                 f"wgangp_remat={wgangp_remat!r}: expected 'all' or 'gp'"
             )
+        # compute_dtype='bfloat16' runs the D and G adversarial steps'
+        # convs/matmuls in bf16 (full MXU rate on TPU; fp32 convs run at
+        # ~half) with fp32 master params, fp32 Adam moments, and fp32
+        # losses/ADA statistics. The reference trains fp32 throughout
+        # (models/baggan/bagganhq.py); the default (None/'float32') keeps
+        # that bit-exact parity path. The lazy regularizer steps (R1, PPL)
+        # and the wgangp gradient-penalty branch always stay fp32 — their
+        # grad-of-grad norm estimates are what bf16 rounding would bias.
+        comp_dtype = getattr(cfg, "compute_dtype", None)
+        if isinstance(comp_dtype, str):
+            comp_dtype = jnp.dtype(comp_dtype).type
+        if comp_dtype is not None and comp_dtype not in (
+            jnp.float32, jnp.bfloat16,
+        ):
+            raise NotImplementedError(
+                f"compute_dtype={getattr(cfg, 'compute_dtype', None)!r}: "
+                "expected None, 'float32' or 'bfloat16'"
+            )
+        if comp_dtype == jnp.float32:
+            comp_dtype = None  # fp32 IS the default path; avoid no-op casts
 
         n_latent = meta["n_latent"]
 
@@ -376,11 +396,19 @@ class BagGANHQ(GANBaseModel):
             return generator_forward(
                 g_params, meta, [lat], input_is_latent=True,
                 randomize_noise=True, noise_key=key, return_latents=True,
+                dtype=comp_dtype,
             )
 
         def d_loss_fn(d_params, fake_img, real_img, ada_p, key):
             k1, k2, k3 = jax.random.split(key, 3)
             d_in_fake, d_in_real = fake_img, real_img
+            if comp_dtype is not None:
+                # fake_img is already comp_dtype (synth); the real batch
+                # enters fp32 from the loader. conv2d_nhwc casts weights to
+                # the activation dtype, so bf16 inputs make every D conv a
+                # full-rate bf16 MXU op with fp32 master params untouched.
+                d_in_fake = d_in_fake.astype(comp_dtype)
+                d_in_real = d_in_real.astype(comp_dtype)
             if use_aug:
                 d_in_fake, _ = augment(d_in_fake, ada_p, k1,
                                        warp_impl=warp_impl)
@@ -407,6 +435,10 @@ class BagGANHQ(GANBaseModel):
                 fwd = lambda dp, _meta, x: ckpt_fwd(dp, x)
             pred_fake = fwd(d_params, d_meta, d_in_fake)
             pred_real = fwd(d_params, d_meta, d_in_real)
+            if comp_dtype is not None:
+                # losses and the ADA r_t statistic accumulate in fp32
+                pred_fake = pred_fake.astype(jnp.float32)
+                pred_real = pred_real.astype(jnp.float32)
             loss_d_out = adv(pred_fake, False)
             loss_d_ref = adv(pred_real, True)
             if gan_mode == "wgangp":
@@ -414,7 +446,11 @@ class BagGANHQ(GANBaseModel):
                     jax.checkpoint(
                         lambda x: discriminator_forward(d_params, d_meta, x)
                     ),
-                    d_in_real, d_in_fake, k3,
+                    # the penalty's grad-norm estimate stays fp32 even under
+                    # compute_dtype='bfloat16' (see knob comment above)
+                    d_in_real.astype(jnp.float32),
+                    d_in_fake.astype(jnp.float32),
+                    k3,
                 )
                 loss = (loss_d_out + loss_d_ref) * 0.25 + gp * 0.5
             else:
@@ -440,6 +476,10 @@ class BagGANHQ(GANBaseModel):
                 ada_state = ada_update(
                     ada_state, aux[2], cfg.ada_target, cfg.ada_length, 8
                 )
+            if comp_dtype is not None:
+                # callers (snapshots, image pools) expect fp32 images; the
+                # chunked scan discards this leaf so XLA DCEs the cast there
+                fake_img = fake_img.astype(jnp.float32)
             return d_params, opt_state, loss, aux, fake_img, ada_state
 
         def r1_step(d_params, opt_state, real_img, key, ada_p):
@@ -469,6 +509,8 @@ class BagGANHQ(GANBaseModel):
             if use_aug:
                 d_in, _ = augment(d_in, ada_p, ka, warp_impl=warp_impl)
             pred_fake = discriminator_forward(d_params, d_meta, d_in)
+            if comp_dtype is not None:
+                pred_fake = pred_fake.astype(jnp.float32)
             return adv(pred_fake, True)
 
         def g_step(g_params, opt_state, d_params, z, key, ada_p,

@@ -108,10 +108,13 @@ def minibatch_stddev(x, group_size=4, num_new_features=1):
     b, h, w, c = x.shape
     group = min(b, group_size)
     y = x.reshape(group, -1, h, w, num_new_features, c // num_new_features)
-    var = y.var(axis=0)
+    # the variance-of-4 statistic cancels catastrophically in low precision;
+    # accumulate it in fp32 even when the trainer runs bf16 activations
+    # (compute_dtype knob, gan/train.py) — a no-op cast on the fp32 path
+    var = y.astype(jnp.float32).var(axis=0)
     stddev = jnp.sqrt(var + 1e-8)
     stddev = stddev.mean(axis=(1, 2, 4), keepdims=True).squeeze(4)  # (b/g,1,1,1)
-    stddev = jnp.tile(stddev, (group, h, w, 1))
+    stddev = jnp.tile(stddev, (group, h, w, 1)).astype(x.dtype)
     return jnp.concatenate([x, stddev], axis=-1)
 
 

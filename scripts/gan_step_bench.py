@@ -1,9 +1,18 @@
-"""Chained-device timing of BagGAN D/R1/G steps at 256^2 batch 16, ADA on."""
+"""Chained-device timing of BagGAN D/R1/G steps at 256^2 batch 16, ADA on.
+
+argv: [warp_impl] [compute_dtype] — e.g. `shear bfloat16` for the
+mixed-precision trainer knob (gan/train.py).
+"""
 import sys, time, types
 import jax, jax.numpy as jnp, numpy as np
 from ganecdotes_tpu.gan.train import BagGANHQ
+from ganecdotes_tpu.runtime.compile_cache import (
+    enable_persistent_compilation_cache,
+)
 
+enable_persistent_compilation_cache()
 warp = sys.argv[1] if len(sys.argv) > 1 else "shear"
+cdtype = sys.argv[2] if len(sys.argv) > 2 else None
 cfg = types.SimpleNamespace(
     out_dir="/tmp/ganb", checkpoint_dir="/tmp/ganb/ckpt",
     is_train=True, image_size=256, latent_dim=512, num_channels=3,
@@ -17,8 +26,9 @@ cfg = types.SimpleNamespace(
     generator_params=dict(mlp_layers=8),
     losses_to_print=["g_gan", "d"],
     start_epoch=1, continue_train=False, load_net=False,
-    ada_warp_impl=warp,
+    ada_warp_impl=warp, compute_dtype=cdtype,
 )
+tag = f"{warp}{'' if cdtype is None else '/' + cdtype}"
 gan = BagGANHQ(cfg)
 gan.setup_gan()
 real = jnp.asarray(np.random.RandomState(0).rand(16, 256, 256, 3).astype(np.float32) * 2 - 1)
@@ -38,10 +48,10 @@ key = jax.random.PRNGKey(1)
 
 d_fn = lambda r: gan._d_step(gan.disc_params, gan.opt_d_state, gan.generator_params,
                              r, [z, z], key, gan.ada_state, jnp.asarray(3))[:4]
-td = timed(d_fn); print(f"[{warp}] D step : {td*1e3:8.1f} ms", flush=True)
+td = timed(d_fn); print(f"[{tag}] D step : {td*1e3:8.1f} ms", flush=True)
 r1_fn = lambda r: gan._r1_step(gan.disc_params, gan.opt_d_state, r, key, gan.ada_state["p"])[2]
-tr = timed(r1_fn); print(f"[{warp}] R1 step: {tr*1e3:8.1f} ms", flush=True)
+tr = timed(r1_fn); print(f"[{tag}] R1 step: {tr*1e3:8.1f} ms", flush=True)
 g_fn = lambda r: gan._g_step(gan.generator_params, gan.opt_g_state, gan.disc_params,
                              [z, z], key, gan.ada_state["p"] + r[0,0,0,0]*0, jnp.asarray(3))[2]
-tg = timed(g_fn); print(f"[{warp}] G step : {tg*1e3:8.1f} ms", flush=True)
-print(f"[{warp}] D+G iteration: {(td+tg)*1e3:.1f} ms -> {16/(td+tg):.1f} img/s", flush=True)
+tg = timed(g_fn); print(f"[{tag}] G step : {tg*1e3:8.1f} ms", flush=True)
+print(f"[{tag}] D+G iteration: {(td+tg)*1e3:.1f} ms -> {16/(td+tg):.1f} img/s", flush=True)

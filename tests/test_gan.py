@@ -439,6 +439,69 @@ def test_wgangp_remat_rejects_unknown_values(tmp_path):
         BagGANHQ(_tiny_gan_cfg(tmp_path, wgangp_remat="ALL"))
 
 
+def test_compute_dtype_rejects_unknown_values(tmp_path):
+    """compute_dtype='float16' (or a typo) must fail at construction —
+    fp16 overflows StyleGAN2's unbounded logits; only bf16 shares fp32's
+    exponent range (see gan/train.py knob comment)."""
+    import pytest
+
+    from ganecdotes_tpu.gan.train import BagGANHQ
+
+    with pytest.raises(NotImplementedError, match="compute_dtype"):
+        BagGANHQ(_tiny_gan_cfg(tmp_path, compute_dtype="float16"))
+
+
+def test_compute_dtype_bf16_training_tracks_fp32(tmp_path):
+    """compute_dtype='bfloat16' (mixed-precision D/G steps, fp32 master
+    params + Adam moments) must (a) keep every param/opt leaf fp32,
+    (b) produce first-iteration losses that agree with the fp32 run to
+    bf16 rounding, and (c) stay finite over several iterations; and
+    compute_dtype='float32' must be bit-identical to the default."""
+    import types
+
+    from ganecdotes_tpu.gan.train import BagGANHQ
+
+    def run(tag, n_iters=4, **over):
+        cfg = _tiny_gan_cfg(
+            tmp_path / tag, gan_mode="vanilla", augment=True,
+            mixing_prob=0.0, d_reg_every=3, g_reg_every=3, **over
+        )
+        gan = BagGANHQ(cfg, seed=0)
+        gan.setup_gan()
+        real = jnp.asarray(
+            np.random.RandomState(0).rand(2, 16, 16, 3).astype(np.float32)
+            * 2 - 1
+        )
+        losses = []
+        for it in range(n_iters):
+            gan.set_input(data_sample={"ct": real}, iter_no=it, epoch_no=0)
+            gan.optimize_parameters()
+            losses.append(dict(gan.get_current_losses()))
+        return gan, losses
+
+    gan32, l32 = run("fp32")
+    gan32e, l32e = run("fp32e", compute_dtype="float32")
+    ganbf, lbf = run("bf16", compute_dtype="bfloat16")
+
+    # (c) explicit 'float32' is the same program as the default
+    for a, b in zip(l32, l32e):
+        for k in a:
+            assert a[k] == b[k], (k, a[k], b[k])
+
+    # (a) master params and optimizer moments never leave fp32
+    for leaf in jax.tree.leaves((ganbf.generator_params, ganbf.disc_params,
+                                 ganbf.opt_g_state, ganbf.opt_d_state)):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32, leaf.dtype
+
+    # (b) iteration-0 losses agree to bf16 rounding; all iterations finite
+    for k in ("d", "g_gan"):
+        assert abs(l32[0][k] - lbf[0][k]) < 0.05, (k, l32[0][k], lbf[0][k])
+    for rec in lbf:
+        for k, v in rec.items():
+            assert np.isfinite(v), (k, v)
+
+
 def test_ppl_with_pallas_styled_conv_fails_loud(tmp_path):
     """use_ppl takes grad-of-grad through the generator; the custom_vjp
     pallas styled-conv kernels are first-order only. The combination must
