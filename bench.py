@@ -40,6 +40,9 @@ numbers (BASELINE.json "published": {}).
     baggan_img_per_s          — BagGAN-HQ adversarial training step pair at
                                 256² batch 16 with ADA (the GAN training
                                 family's headline, scatter-free warp).
+  * baggan_bf16_*             — the same pair under the mixed-precision
+                                trainer knob (compute_dtype='bfloat16':
+                                bf16 convs, fp32 master params/losses).
 
 Set BENCH_TRACE_DIR=/tmp/trace to capture a jax.profiler trace of one
 headline step before the sweep (inspect with tensorboard/xprof).
@@ -487,7 +490,8 @@ def pretrain_steps_per_s(method="swav", iters=10, sample_batch=None,
     return iters / (time.perf_counter() - t0)
 
 
-def baggan_step_stats(iters=8, size=256, batch=16, mlp_layers=8):
+def baggan_step_stats(iters=8, size=256, batch=16, mlp_layers=8,
+                      compute_dtype=None, key_prefix="baggan"):
     """BagGAN-HQ adversarial training throughput at 256², batch 16, ADA on
     (the scripts/gan_step_bench.py configuration PERFORMANCE.md documents
     as D 174 + G 107 ms = 57 img/s). Returns {'baggan_d_ms', 'baggan_g_ms',
@@ -495,7 +499,9 @@ def baggan_step_stats(iters=8, size=256, batch=16, mlp_layers=8):
     artifact, not only a doc claim. Chained-fori timing of the two jitted
     step programs (the plain-iteration pair; lazy R1/PPL amortize to ~6%
     of wall time at d_reg_every=16/g_reg_every=4 in the production CLI,
-    measured separately in docs/PERFORMANCE.md)."""
+    measured separately in docs/PERFORMANCE.md). With
+    compute_dtype='bfloat16' + key_prefix='baggan_bf16' it records the
+    mixed-precision trainer knob's variant (gan/train.py)."""
     import types
 
     import numpy as np
@@ -503,6 +509,7 @@ def baggan_step_stats(iters=8, size=256, batch=16, mlp_layers=8):
     from ganecdotes_tpu.gan.train import BagGANHQ
 
     cfg = types.SimpleNamespace(
+        compute_dtype=compute_dtype,
         out_dir="/tmp/ganb_bench", checkpoint_dir="/tmp/ganb_bench/ckpt",
         is_train=True, image_size=size, latent_dim=512, num_channels=3,
         batch_size=batch, gan_mode="vanilla", use_ppl=True, r1_lambda=10,
@@ -556,9 +563,9 @@ def baggan_step_stats(iters=8, size=256, batch=16, mlp_layers=8):
                               inj)[2]
     )
     return {
-        "baggan_d_ms": round(td * 1e3, 1),
-        "baggan_g_ms": round(tg * 1e3, 1),
-        "baggan_img_per_s": round(batch / (td + tg), 1),
+        f"{key_prefix}_d_ms": round(td * 1e3, 1),
+        f"{key_prefix}_g_ms": round(tg * 1e3, 1),
+        f"{key_prefix}_img_per_s": round(batch / (td + tg), 1),
     }
 
 
@@ -753,14 +760,20 @@ def _run_all():
 
     # GAN-training throughput (BagGAN-HQ, 256² batch 16, ADA): the other
     # training family's headline, recorded per-round alongside the SSL ones
-    jax.clear_caches()
-    try:
-        extra.update(baggan_step_stats())
-    except Exception as e:
-        import sys
+    # — fp32 (reference-parity default) and the compute_dtype='bfloat16'
+    # mixed-precision knob
+    for cdtype, prefix in ((None, "baggan"), ("bfloat16", "baggan_bf16")):
+        jax.clear_caches()
+        try:
+            extra.update(
+                baggan_step_stats(compute_dtype=cdtype, key_prefix=prefix)
+            )
+        except Exception as e:
+            import sys
 
-        print(f"bench: baggan stats failed ({e!r})", file=sys.stderr)
-        extra["baggan_img_per_s"] = None
+            print(f"bench: {prefix} stats failed ({e!r})", file=sys.stderr)
+            extra[f"{prefix}_img_per_s"] = None
+            await_relay()
 
     return {
         "metric": "256x256 generate+segment throughput (hfc_with_swav path)",

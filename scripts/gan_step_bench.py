@@ -54,4 +54,14 @@ tr = timed(r1_fn); print(f"[{tag}] R1 step: {tr*1e3:8.1f} ms", flush=True)
 g_fn = lambda r: gan._g_step(gan.generator_params, gan.opt_g_state, gan.disc_params,
                              [z, z], key, gan.ada_state["p"] + r[0,0,0,0]*0, jnp.asarray(3))[2]
 tg = timed(g_fn); print(f"[{tag}] G step : {tg*1e3:8.1f} ms", flush=True)
+zp = jax.random.normal(jax.random.PRNGKey(2), (16 // cfg.path_batch_shrink, 512))
+ppl_fn = lambda r: gan._ppl_step(gan.generator_params, gan.opt_g_state,
+                                 [zp + r[0, 0, 0, 0] * 0], key,
+                                 gan.mean_path_length)[2]
+tp = timed(ppl_fn); print(f"[{tag}] PPL step: {tp*1e3:7.1f} ms", flush=True)
 print(f"[{tag}] D+G iteration: {(td+tg)*1e3:.1f} ms -> {16/(td+tg):.1f} img/s", flush=True)
+# lazy-regularized training: R1 every d_reg_every=16, PPL every g_reg_every=4
+teff = td + tg + tr / cfg.d_reg_every + tp / cfg.g_reg_every
+print(f"[{tag}] effective iteration (incl. R1/{cfg.d_reg_every} + "
+      f"PPL/{cfg.g_reg_every}): {teff*1e3:.1f} ms -> {16/teff:.1f} img/s",
+      flush=True)

@@ -113,6 +113,11 @@ def test_baggan_step_stats_runs_tiny():
     stats = bench.baggan_step_stats(iters=2, size=16, batch=2, mlp_layers=1)
     assert stats["baggan_img_per_s"] > 0
     assert stats["baggan_d_ms"] > 0 and stats["baggan_g_ms"] > 0
+    stats = bench.baggan_step_stats(
+        iters=2, size=16, batch=2, mlp_layers=1,
+        compute_dtype="bfloat16", key_prefix="baggan_bf16",
+    )
+    assert stats["baggan_bf16_img_per_s"] > 0
 
 
 def test_headline_only_mode(capsys, monkeypatch):
