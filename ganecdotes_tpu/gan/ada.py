@@ -238,8 +238,10 @@ def random_apply_affine(img, p, key, G=None, antialiasing_kernel=SYM6,
 
     ``warp_impl``: 'shear' (default) applies the affine map with the
     scatter-free two-pass resample (ops/affine_warp.py) — ~15× faster than
-    the gather on TPU and identical for every ε=0 transform; 'exact' keeps
-    the per-pixel bilinear gather (the grid_sample oracle).
+    the gather on TPU and identical for every ε=0 transform;
+    'shear_pallas' runs the same two passes through the fused VMEM kernel
+    (ops/affine_warp_pallas.py — one HBM read+write per pass); 'exact'
+    keeps the per-pixel bilinear gather (the grid_sample oracle).
     """
     k = np.asarray(antialiasing_kernel, dtype=np.float32)
     len_k = len(k)

@@ -336,10 +336,23 @@ class BagGANHQ(GANBaseModel):
         d_meta = self.disc_meta
         adv = self.adversarial_loss
         use_aug = getattr(cfg, "augment", False)
+        # ADA warp dispatch (measured policy, docs/PERFORMANCE.md):
         # 'shear' = the scatter-free two-pass warp (ops/affine_warp.py) —
-        # the production default (96x faster fwd+bwd than the gather at
-        # 256^2 batch 16); 'exact' keeps the grid_sample oracle semantics
-        warp_impl = getattr(cfg, "ada_warp_impl", "shear")
+        # 96x faster fwd+bwd than the gather at 256^2 batch 16;
+        # 'shear_pallas' = the same passes through the fused VMEM kernel
+        # (ops/affine_warp_pallas.py) — bitwise-identical on hardware at
+        # both production scales incl. gradients, and another 1.3-1.4x on
+        # the full training iteration (R1 265.6->88.6 ms, G 102.9->57.7);
+        # 'exact' keeps the grid_sample oracle semantics. The default
+        # 'auto' picks the kernel on TPU and the XLA passes elsewhere.
+        warp_impl = getattr(cfg, "ada_warp_impl", "auto")
+        if warp_impl == "auto":
+            warp_impl = (
+                "shear_pallas"
+                if jax.default_backend() == "tpu"
+                else "shear"
+            )
+        self._ada_warp_impl = warp_impl
         gan_mode = cfg.gan_mode
         # 'all' = checkpoint every D forward under wgangp (lowest peak);
         # 'gp' = checkpoint only the gradient-penalty branch (faster iter,

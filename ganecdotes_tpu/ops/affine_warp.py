@@ -122,6 +122,9 @@ def _per_line_roll(x, amounts, axis):
     a shape that broadcasts against x *without* the rolled axis (it must be
     constant along ``axis``). Decomposed into conditional static rolls of
     each bit — ⌈log₂ L⌉ select sweeps, no gather.
+
+    ``x`` here is (B, C, ·, ·) channels-second (see ``_resample_pass``);
+    ``amounts`` is (B, L_other) and is expanded to broadcast (B, 1, …).
     """
     length = x.shape[axis]
     n_bits = max(1, int(np.ceil(np.log2(length))))
@@ -129,21 +132,31 @@ def _per_line_roll(x, amounts, axis):
     out = x
     for k in range(n_bits):
         bit = (a2 >> k) & 1
-        cond = jnp.expand_dims(bit == 1, axis=axis)
-        cond = jnp.expand_dims(cond, -1)  # broadcast over channels
+        # (B, L_other) -> (B, 1, L_other) -> unit dim at the rolled axis
+        cond = jnp.expand_dims(jnp.expand_dims(bit == 1, 1), axis)
         out = jnp.where(cond, jnp.roll(out, -(1 << k), axis=axis), out)
     return out
 
 
 def _resample_pass(x, alpha, intercept, axis, out_len):
-    """1-D bilinear resample along ``axis`` (1=H, 2=W) of NHWC ``x``.
+    """1-D bilinear resample along ``axis`` (2=H, 3=W) of channels-second
+    ``x`` with shape (B, C, H, W).
 
     Source position for output index u: ``s = alpha·u + intercept`` where
     ``alpha`` is (B,) and ``intercept`` varies along the *other* spatial
     axis, shape (B, L_other). Returns the resampled tensor with ``axis``
     length ``out_len``.
+
+    Layout note: the caller (`affine_warp_shear`) moves channels out of the
+    minor dimension before the passes. With NHWC inputs the roll/select
+    sweeps and tap lerps ran with C=3 as the lane dimension — 3 of 128
+    lanes used, measured 62 GB/s effective on a v5e ((16, 792², 3) bf16
+    select sweeps at 2.89 ms each, scripts/ada_profile.py). Channels-second
+    puts W on the lanes. The one-hot contractions select exactly one
+    nonzero element per output, so results are bit-identical to the NHWC
+    form in any dtype — only the memory layout changes.
     """
-    b, h, w, c = x.shape
+    b, c, h, w = x.shape
     src_len = x.shape[axis]
     alpha = alpha.astype(jnp.float32)
     intercept = intercept.astype(jnp.float32)
@@ -165,54 +178,72 @@ def _resample_pass(x, alpha, intercept, axis, out_len):
     roll_amt = jnp.mod(Ui, src_len)
     xr = _per_line_roll(x, roll_amt, axis)
 
-    # 3-tap one-hot matmul at q, q+1, q+2 along the rolled source axis
+    # 3-tap one-hot matmuls at q, q+1, q+2 along the rolled source axis —
+    # one (B, src, out) selection matrix per tap keeps every operand's
+    # minor dimension wide (no 3-long tap axis in the lanes)
     qi = q.astype(jnp.int32)  # (B, out_len); may be out of range — masked
     src_iota = jnp.arange(src_len, dtype=jnp.int32)
-    taps = jnp.arange(3, dtype=jnp.int32)
-    # wrap to match the circular roll semantics, mask separately below
-    tgt = jnp.mod(qi[:, :, None] + taps[None, None, :], src_len)
-    onehot = (
-        src_iota[None, :, None, None] == tgt[:, None, :, :]
-    ).astype(x.dtype)  # (B, src_len, out_len, 3)
 
-    if axis == 2:
-        g = jnp.einsum("bhwc,bwvt->bhvtc", xr, onehot)
+    def tap(t):
+        # wrap to match the circular roll semantics, mask separately below
+        tgt = jnp.mod(qi + t, src_len)  # (B, out_len)
+        onehot = (
+            src_iota[None, :, None] == tgt[:, None, :]
+        ).astype(x.dtype)  # (B, src_len, out_len)
+        if axis == 3:
+            g = jnp.einsum("bchw,bwv->bchv", xr, onehot)
+            k = Ui[:, :, None] + qi[:, None, :] + t  # (B, H, V)
+        else:
+            g = jnp.einsum("bchw,bhv->bcvw", xr, onehot)
+            k = (Ui[:, None, :] + qi[:, :, None] + t)  # (B, V, W)
         # validity: k = U + q + t within [0, src_len-1]
-        k = Ui[:, :, None, None] + qi[:, None, :, None] + taps  # (B,H,V,3)
-        e_in = r[:, None, :] + v[:, :, None]  # (B, H, V)
-        f_shape = (b, h, out_len, 1)
-    else:
-        g = jnp.einsum("bhwc,bhvt->bvwtc", xr, onehot)
-        k = Ui[:, None, :, None] + qi[:, :, None, None] + taps  # (B,V,W,3)
-        e_in = r[:, :, None] + v[:, None, :]  # (B, V, W)
-        f_shape = (b, out_len, w, 1)
+        valid = ((k >= 0) & (k <= src_len - 1)).astype(x.dtype)
+        return g * valid[:, None]
 
-    valid = ((k >= 0) & (k <= src_len - 1)).astype(x.dtype)
-    g = g * valid[..., None]
+    g0, g1, g2 = tap(0), tap(1), tap(2)
+
+    if axis == 3:
+        e_in = r[:, None, :] + v[:, :, None]  # (B, H, V)
+    else:
+        e_in = r[:, :, None] + v[:, None, :]  # (B, V, W)
 
     e = jnp.floor(e_in)  # 0 or 1
-    f = (e_in - e).reshape(f_shape).astype(x.dtype)
-    e1 = (e == 1)[..., None]
-    lo = jnp.where(e1, g[..., 1, :], g[..., 0, :])
-    hi = jnp.where(e1, g[..., 2, :], g[..., 1, :])
+    f = (e_in - e)[:, None].astype(x.dtype)  # (B, 1, ·, ·)
+    e1 = (e == 1)[:, None]
+    lo = jnp.where(e1, g1, g0)
+    hi = jnp.where(e1, g2, g1)
     return (1.0 - f) * lo + f * hi
 
 
-def affine_warp_shear(x, M, out_hw=None):
+def affine_warp_shear(x, M, out_hw=None, pass_impl="xla"):
     """Two-pass separable warp (see module docstring). x: (B, H, W, C);
     M: (B, 2, 3) pixel-space map. Requires H == W (transpose conditioning
-    swaps axes per image)."""
+    swaps axes per image).
+
+    ``pass_impl``: 'xla' runs each 1-D resample pass as roll-sweeps +
+    one-hot einsums; 'pallas' runs the fused VMEM kernel
+    (ops/affine_warp_pallas.py) — one HBM read+write per pass instead of
+    ~10 roll+select sweeps, and immune to the layout coupling that makes
+    the XLA sweeps ~6× slower inside fused training programs (measured,
+    scripts/ada_profile.py). Forward results match to 1 ulp (same
+    selection + lerp algebra; only FMA contraction differs); 'pallas'
+    returns zero cotangents for the transform matrix (the image VJP —
+    the only one training uses — is exact at every order)."""
     b, h, w, c = x.shape
     if h != w:
         raise ValueError("affine_warp_shear requires a square source image")
     out_h, out_w = out_hw or (h, w)
     M = M.astype(jnp.float32)
 
+    # channels-second for the passes: W on the TPU lane dimension instead
+    # of C (see the _resample_pass layout note). Bit-identical results.
+    x = jnp.moveaxis(x, -1, 1)  # (B, C, H, W)
+
     # transpose conditioning: bound |eps| = |c/a| by warping the transposed
     # image (source-coordinate swap = row swap of M) when |c| > |a|
     a_, c_ = M[:, 0, 0], M[:, 1, 0]
     swap = jnp.abs(c_) > jnp.abs(a_)  # (B,)
-    xt = jnp.transpose(x, (0, 2, 1, 3))
+    xt = jnp.transpose(x, (0, 1, 3, 2))
     x_eff = jnp.where(swap[:, None, None, None], xt, x)
     M_sw = M[:, ::-1, :]  # rows swapped
     M_eff = jnp.where(swap[:, None, None], M_sw, M)
@@ -234,19 +265,33 @@ def affine_warp_shear(x, M, out_hw=None):
     # pass V: A[y, x'] = X[delta·y + eps·x' + zeta, x']
     xp = jnp.arange(w, dtype=jnp.float32)
     intercept_v = eps[:, None] * xp[None, :] + zeta[:, None]  # (B, W)
-    A = _resample_pass(x_eff, delta, intercept_v, axis=1, out_len=out_h)
 
     # pass H: out[y, j] = A[y, a·j + b·y + tx]
     yy = jnp.arange(out_h, dtype=jnp.float32)
     intercept_h = b_sh[:, None] * yy[None, :] + tx[:, None]  # (B, out_h)
-    return _resample_pass(A, a, intercept_h, axis=2, out_len=out_w)
+
+    if pass_impl == "pallas":
+        from ganecdotes_tpu.ops.affine_warp_pallas import resample_rows
+
+        A = resample_rows(x_eff, delta, intercept_v, out_h)
+        At = jnp.swapaxes(A, 2, 3)  # rows := W for the second pass
+        out = resample_rows(At, a, intercept_h, out_w)
+        out = jnp.swapaxes(out, 2, 3)
+    else:
+        A = _resample_pass(x_eff, delta, intercept_v, axis=2, out_len=out_h)
+        out = _resample_pass(A, a, intercept_h, axis=3, out_len=out_w)
+    return jnp.moveaxis(out, 1, -1)  # back to NHWC
 
 
 def affine_warp(x, M, out_hw=None, impl="shear"):
-    """Batched affine warp. impl='shear' (TPU-fast, scatter-free) or
-    'exact' (per-pixel bilinear gather, the grid_sample oracle)."""
+    """Batched affine warp. impl='shear' (TPU-fast, scatter-free),
+    'shear_pallas' (same math through the fused VMEM resample kernel —
+    see ``affine_warp_shear(pass_impl=...)``), or 'exact' (per-pixel
+    bilinear gather, the grid_sample oracle)."""
     if impl == "exact":
         return affine_warp_exact(x, M, out_hw)
     if impl == "shear":
         return affine_warp_shear(x, M, out_hw)
+    if impl == "shear_pallas":
+        return affine_warp_shear(x, M, out_hw, pass_impl="pallas")
     raise ValueError(f"unknown affine_warp impl: {impl!r}")

@@ -2,7 +2,10 @@
 attribution at the bench shape (256^2, batch 16, ADA on).
 
 Run on the TPU (or CPU for flops-only):
-    PYTHONPATH=/root/repo:$PYTHONPATH python scripts/gan_step_cost.py
+    PYTHONPATH=/root/repo:$PYTHONPATH python scripts/gan_step_cost.py [compute_dtype]
+
+argv: [compute_dtype] — e.g. `bfloat16` for the mixed-precision trainer
+knob (gan/train.py); default fp32.
 
 Pairs with scripts/gan_step_bench.py (chained-device timing): divide its
 measured ms by the flops printed here for honest MFU numbers.
@@ -16,6 +19,7 @@ import numpy as np
 from ganecdotes_tpu.gan.train import BagGANHQ
 
 cfg = types.SimpleNamespace(
+    compute_dtype=sys.argv[1] if len(sys.argv) > 1 else None,
     out_dir="/tmp/ganb", checkpoint_dir="/tmp/ganb/ckpt",
     is_train=True, image_size=256, latent_dim=512, num_channels=3,
     batch_size=16, gan_mode="vanilla", use_ppl=True, r1_lambda=10,

@@ -925,3 +925,46 @@ def test_baggan_export_roundtrip_into_reference_torch(tmp_path):
     np.testing.assert_allclose(
         np.asarray(img_j), img_t.numpy().transpose(0, 2, 3, 1), atol=2e-4
     )
+
+
+def test_ada_warp_impl_auto_resolution(tmp_path):
+    """The trainer's ada_warp_impl default 'auto' resolves per backend
+    (pallas kernel on TPU, XLA passes elsewhere); explicit values pass
+    through; unknown values fail at the first augmented step."""
+    import types
+
+    from ganecdotes_tpu.gan.train import BagGANHQ
+
+    def build(**kw):
+        cfg = types.SimpleNamespace(
+            out_dir=str(tmp_path), checkpoint_dir=str(tmp_path / "ckpt"),
+            is_train=True, image_size=32, latent_dim=64, num_channels=3,
+            batch_size=2, gan_mode="vanilla", use_ppl=False, r1_lambda=10,
+            ppl_lambda=2, path_batch_shrink=2, ppl_decay=0.01,
+            d_reg_every=2, g_reg_every=2, mixing_prob=0.0,
+            chl_multiplier=1, g_reg_ratio=4 / 5, d_reg_ratio=16 / 17,
+            augment=True, augment_p=0, ada_target=0.6, ada_length=100,
+            lr=0.002, beta1=0.0, lr_policy="linear",
+            lr_params=dict(epoch_count=1, n_epochs=2, n_epochs_decay=2),
+            generator_params=dict(mlp_layers=2),
+            losses_to_print=["g_gan", "d"],
+            start_epoch=1, continue_train=False, load_net=False, **kw,
+        )
+        gan = BagGANHQ(cfg)
+        gan.setup_gan()
+        return gan
+
+    # tests run on the CPU mesh -> auto must resolve to the XLA passes
+    assert build()._ada_warp_impl == "shear"
+    assert build(ada_warp_impl="shear_pallas")._ada_warp_impl == (
+        "shear_pallas"
+    )
+
+    # the pallas impl trains end-to-end on CPU too (interpret mode)
+    gan = build(ada_warp_impl="shear_pallas")
+    real = jnp.asarray(
+        np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32)
+    )
+    gan.set_input(data_sample={"ct": real}, iter_no=0, epoch_no=0)
+    gan.optimize_parameters()
+    assert np.isfinite(gan.get_current_losses()["d"])
