@@ -24,6 +24,10 @@ from car512_profile import parse_trace  # noqa: E402
 def main():
     step = sys.argv[1] if len(sys.argv) > 1 else "d"
     dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
+    if step not in ("d", "g", "r1"):
+        raise SystemExit(f"step must be one of d|g|r1, got {step!r}")
+    if dtype not in ("fp32", "bfloat16"):
+        raise SystemExit(f"dtype must be fp32|bfloat16, got {dtype!r}")
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -76,13 +80,17 @@ def main():
     # the TPU relay — see bench.timed's docstring)
     import time
 
+    # every chain keeps the UPDATED params/opt_state in its output: the
+    # loss alone is value_and_grad's primal, so returning only it lets XLA
+    # DCE the whole parameter backward + optimizer update and the timing
+    # degenerates to forward-only (advisor finding, round 4)
     if step == "d":
         chain = lambda r: fn(args[0], args[1], args[2], r, *args[4:])[:4]
     elif step == "g":
         chain = lambda r: fn(args[0], args[1], args[2], args[3], args[4],
-                             args[5] + r[0, 0, 0, 0] * 0, args[6])[2]
+                             args[5] + r[0, 0, 0, 0] * 0, args[6])[:3]
     else:
-        chain = lambda r: fn(args[0], args[1], r, *args[3:])[2]
+        chain = lambda r: fn(args[0], args[1], r, *args[3:])[:3]
 
     iters = 8
 
@@ -105,8 +113,10 @@ def main():
     # rejects the profiler session (INVALID_ARGUMENT from
     # profiler_controller, observed 2026-08-20); the chained timing above
     # is the trustworthy number either way.
+    import shutil
+
     trace_dir = f"/tmp/{step}step_trace"
-    os.system(f"rm -rf {trace_dir}")
+    shutil.rmtree(trace_dir, ignore_errors=True)
     try:
         with jax.profiler.trace(trace_dir):
             jax.block_until_ready(fn(*args))
@@ -118,8 +128,12 @@ def main():
     totals, path = parse_trace(trace_dir)
     total = sum(totals.values())
     print(f"trace: {path}\ntotal device us: {total:.0f}")
+    # "convolution"/"dot" explicitly: a bare "conv" substring also matches
+    # the numerous "convert" dtype-cast ops under compute_dtype='bfloat16'
+    # and inflates the reported MXU share (advisor finding, round 4)
     mxu = sum(v for k, v in totals.items()
-              if "conv" in k.lower() or "dot" in k.lower())
+              if "convolution" in k.lower()
+              or ("dot" in k.lower() and "convert" not in k.lower()))
     print(f"MXU (conv/dot) share: {mxu/max(total,1e-9):.1%}")
     for name, us in sorted(totals.items(), key=lambda kv: -kv[1])[:30]:
         print(f"{us:10.0f} us  {name}")

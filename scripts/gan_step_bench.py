@@ -49,15 +49,19 @@ key = jax.random.PRNGKey(1)
 d_fn = lambda r: gan._d_step(gan.disc_params, gan.opt_d_state, gan.generator_params,
                              r, [z, z], key, gan.ada_state, jnp.asarray(3))[:4]
 td = timed(d_fn); print(f"[{tag}] D step : {td*1e3:8.1f} ms", flush=True)
-r1_fn = lambda r: gan._r1_step(gan.disc_params, gan.opt_d_state, r, key, gan.ada_state["p"])[2]
+# every chain keeps the UPDATED params/opt_state in its output: the loss
+# alone is value_and_grad's primal, so returning only it lets XLA DCE the
+# parameter backward + optimizer update and the timing degenerates to
+# forward-only (advisor finding, round 4)
+r1_fn = lambda r: gan._r1_step(gan.disc_params, gan.opt_d_state, r, key, gan.ada_state["p"])[:3]
 tr = timed(r1_fn); print(f"[{tag}] R1 step: {tr*1e3:8.1f} ms", flush=True)
 g_fn = lambda r: gan._g_step(gan.generator_params, gan.opt_g_state, gan.disc_params,
-                             [z, z], key, gan.ada_state["p"] + r[0,0,0,0]*0, jnp.asarray(3))[2]
+                             [z, z], key, gan.ada_state["p"] + r[0,0,0,0]*0, jnp.asarray(3))[:3]
 tg = timed(g_fn); print(f"[{tag}] G step : {tg*1e3:8.1f} ms", flush=True)
 zp = jax.random.normal(jax.random.PRNGKey(2), (16 // cfg.path_batch_shrink, 512))
 ppl_fn = lambda r: gan._ppl_step(gan.generator_params, gan.opt_g_state,
                                  [zp + r[0, 0, 0, 0] * 0], key,
-                                 gan.mean_path_length)[2]
+                                 gan.mean_path_length)[:3]
 tp = timed(ppl_fn); print(f"[{tag}] PPL step: {tp*1e3:7.1f} ms", flush=True)
 print(f"[{tag}] D+G iteration: {(td+tg)*1e3:.1f} ms -> {16/(td+tg):.1f} img/s", flush=True)
 # lazy-regularized training: R1 every d_reg_every=16, PPL every g_reg_every=4
