@@ -49,10 +49,23 @@ def test_bench_programs_trace(method, size):
         assert labels.shape == (2, size, size)
 
 
-def test_bench_sweep_drops_nonbest_executables():
-    """sweep() must free EVERY probe's buffers as it goes (HBM-pressure
-    regression: retained probes skewed in-driver method sweeps low), and
-    only rebuild the winner when keep_best is requested."""
+@pytest.fixture
+def bench_state(tmp_path, monkeypatch):
+    """Isolate bench's module-level round state (hints file, deadline
+    clock, partial-payload store, relay budget) per test."""
+    monkeypatch.setattr(bench, "_HINTS_PATH",
+                        str(tmp_path / "bench_hints.json"))
+    monkeypatch.setattr(bench, "_T0", bench.time.monotonic())
+    monkeypatch.setattr(bench, "_DEADLINE_S", 1500.0)
+    monkeypatch.setattr(bench, "_relay_spent", [0.0])
+    monkeypatch.setitem(bench._STATE, "payload", None)
+    monkeypatch.setitem(bench._STATE, "skipped", [])
+    monkeypatch.setitem(bench._STATE, "emitted", False)
+    monkeypatch.setitem(bench._STATE, "stage", "test")
+    return bench
+
+
+def _fake_sweep_env(monkeypatch, fake_times):
     calls = []
 
     def fake_build(b, dtype, method):
@@ -62,25 +75,201 @@ def test_bench_sweep_drops_nonbest_executables():
         calls.append(b)
         return fn, (jnp.zeros((b,)),)
 
+    monkeypatch.setattr(bench, "build", fake_build)
+    monkeypatch.setattr(
+        bench, "timed",
+        lambda jfn, args, iters=20: fake_times[args[0].shape[0]],
+    )
+    return calls
+
+
+def test_bench_sweep_drops_nonbest_executables(bench_state, monkeypatch):
+    """sweep() must free EVERY probe's buffers as it goes (HBM-pressure
+    regression: retained probes skewed in-driver method sweeps low), and
+    only rebuild the winner when keep_best is requested. The second sweep
+    is seeded from the first's persisted best-batch hint (VERDICT r4
+    task 1d) so it starts at the peak instead of re-running the ladder."""
     # throughputs: 32, 160, 107 img/s -> regression at 128; midpoint 96
     # probes at 137 img/s -> 64 stays the best batch
     fake_times = {32: 1.0, 64: 0.4, 128: 1.2, 96: 0.7}
+    calls = _fake_sweep_env(monkeypatch, fake_times)
 
-    orig_build, orig_timed = bench.build, bench.timed
-    bench.build = fake_build
-    bench.timed = lambda jfn, args, iters=20: fake_times[args[0].shape[0]]
-    try:
-        best_b, (tput, jfn, args) = bench.sweep("swav")
-        assert jfn is None and args is None  # nothing retained by default
-        best_b2, (tput2, jfn2, args2) = bench.sweep("swav", keep_best=True)
-    finally:
-        bench.build, bench.timed = orig_build, orig_timed
+    best_b, (tput, jfn, args) = bench.sweep("swav")
+    assert jfn is None and args is None  # nothing retained by default
+    assert calls == [32, 64, 128, 96]
+    assert bench._load_hints() == {"swav": 64}
 
+    calls.clear()
+    best_b2, (tput2, jfn2, args2) = bench.sweep("swav", keep_best=True)
     assert best_b == best_b2 == 64
     assert tput == tput2
     assert jfn2 is not None and args2 is not None
-    # probes in doubling order + midpoint, then ONE rebuild of the winner
-    assert calls == [32, 64, 128, 96] * 2 + [64]
+    # hint-seeded: start at 64, double to 128 (regresses), down-probe 32,
+    # midpoint 96, then ONE rebuild of the winner
+    assert calls == [64, 128, 32, 96, 64]
+
+
+def test_sweep_headline_only_does_not_save_hint(bench_state, monkeypatch):
+    calls = _fake_sweep_env(monkeypatch, {32: 1.0, 64: 0.4, 128: 1.2,
+                                          96: 0.7})
+    bench.sweep("swav", save_hint=False)
+    assert bench._load_hints() == {}
+
+
+def test_predict_over_limit_extrapolation():
+    """Pre-compile memory gating (VERDICT r4 task 2): candidates whose
+    extrapolated AOT memory exceeds HBM are skipped BEFORE their compile."""
+    GiB = 1 << 30
+    # no observations / no limit -> gating disabled
+    assert bench._predict_over_limit(64, {}, 16 * GiB) is None
+    assert bench._predict_over_limit(64, {32: GiB}, None) is None
+    # one point: fully-linear scaling is an overestimate, so a 1.25x
+    # margin is required before skipping
+    assert bench._predict_over_limit(64, {32: 7 * GiB}, 16 * GiB) is None
+    assert bench._predict_over_limit(128, {32: 7 * GiB}, 16 * GiB)
+    # two points: linear fit (fixed 2 GiB + 0.125 GiB/img here)
+    obs = {32: 6 * GiB, 64: 10 * GiB}
+    assert bench._predict_over_limit(96, obs, 16 * GiB) is None  # 14 GiB
+    est = bench._predict_over_limit(128, obs, 16 * GiB)  # 18 GiB > 16
+    assert est and est > 16 * GiB
+
+
+def test_sweep_skips_extrapolated_oom_batches(bench_state, monkeypatch,
+                                              capsys):
+    """A batch whose extrapolated memory exceeds HBM is skipped with the
+    'AOT' log line instead of paying for a doomed compile (the r04 tail)."""
+    GiB = 1 << 30
+    fake_times = {32: 1.0, 64: 0.4, 96: 0.7}
+    calls = _fake_sweep_env(monkeypatch, fake_times)
+    mem = {32: 6 * GiB, 64: 10 * GiB}
+
+    orig_timed = bench.timed
+
+    def timed_with_mem(jfn, args, iters=20):
+        b = args[0].shape[0]
+        bench._LAST_MEM[0] = mem.get(b)
+        return fake_times[b]
+
+    monkeypatch.setattr(bench, "timed", timed_with_mem)
+    monkeypatch.setattr(bench, "_hbm_limit_bytes", lambda: 16 * GiB)
+
+    best_b, (tput, _, _) = bench.sweep("swav")
+    # 128 extrapolates to ~18 GiB > 16 GiB -> skipped without a build
+    assert 128 not in calls
+    assert best_b == 64
+    assert "skipped (AOT extrapolation" in capsys.readouterr().err
+
+
+def test_stage_gate_skips_past_deadline(bench_state, monkeypatch):
+    monkeypatch.setattr(bench, "_DEADLINE_S", 100.0)
+    assert bench._gate("early")  # 0s elapsed
+    monkeypatch.setattr(bench, "_T0", bench.time.monotonic() - 90)
+    assert not bench._gate("late")  # past 80% of 100s
+    assert bench._STATE["skipped"] == ["late"]
+
+
+def test_await_relay_budget_is_cumulative(bench_state, monkeypatch, capsys):
+    """await_relay draws from ONE pool across the run — r04 could burn
+    240 s per failed stage, which alone blows any driver timeout."""
+    sleeps = []
+    monkeypatch.setattr(bench, "_RELAY_BUDGET_S", 30.0)
+
+    calls = [0]
+
+    def failing_jit(fn):
+        def runner(x):
+            calls[0] += 1
+            raise RuntimeError("relay down")
+
+        return runner
+
+    monkeypatch.setattr(bench.jax, "jit", failing_jit)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: sleeps.append(s))
+
+    t = {"now": 0.0}
+    monkeypatch.setattr(bench.time, "monotonic",
+                        lambda: t.__setitem__("now", t["now"] + 10)
+                        or t["now"])
+    assert bench.await_relay(timeout_s=240, interval_s=10) is False
+    spent_after_first = bench._relay_spent[0]
+    assert spent_after_first >= 30.0  # pool drained
+    # second call: budget exhausted, returns immediately without dispatch
+    calls[0] = 0
+    assert bench.await_relay(timeout_s=240) is False
+    assert calls[0] == 0
+    assert "budget exhausted" in capsys.readouterr().err
+
+
+def test_emit_partial_payload(bench_state, capsys):
+    """_emit prints the published partial payload once, with skipped
+    stages and the partial note — the line the driver parses when the
+    run dies early (VERDICT r4 task 1b)."""
+    import json
+
+    extra = {"mfu": 0.63}
+    payload = {"metric": bench.METRIC, "value": 1100.0,
+               "unit": "img/s/chip", "vs_baseline": None, "extra": extra}
+    bench._publish(payload)
+    bench._record(extra, "finetune_s", 17.0)
+    bench._STATE["skipped"].append("datasetgan_img_per_s")
+    bench._STATE["stdout"] = __import__("sys").stdout
+    bench._emit(note="deadline")
+    bench._emit(note="second call must not double-print")
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    rec = json.loads(out[0])
+    assert rec["value"] == 1100.0
+    assert rec["extra"]["finetune_s"] == 17.0
+    assert rec["extra"]["skipped"] == ["datasetgan_img_per_s"]
+    assert rec["extra"]["partial"] == "deadline"
+
+
+def test_deadline_watchdog_emits_json_subprocess(tmp_path):
+    """End-to-end deadline drill (VERDICT r4 task 1 'done' criterion):
+    bench run with a tiny BENCH_DEADLINE_S against a stuck stage must
+    still print one parseable JSON line and exit cleanly."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = r"""
+import os, sys, time
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
+import jax
+jax.config.update("jax_platforms", "cpu")
+import bench
+
+def stuck_sweep(*a, **k):
+    time.sleep(300)
+
+bench.sweep = stuck_sweep
+bench._arm_guards()
+bench.main()
+"""
+    env = dict(os.environ)
+    env["BENCH_DEADLINE_S"] = "5"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo] + [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                  if p and ".axon_site" not in p]
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], env=env, cwd=repo,
+        capture_output=True, text=True, timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln]
+    assert len(lines) == 1, proc.stdout
+    rec = json.loads(lines[0])
+    assert rec["metric"] == bench.METRIC
+    assert rec["unit"] == "img/s/chip"
+    # nothing measured before the deadline -> value null but parseable,
+    # with the partial marker set
+    assert rec["value"] is None
+    assert rec["extra"]["partial"] == "deadline"
 
 
 @pytest.mark.slow
@@ -141,7 +330,7 @@ def test_headline_only_mode(capsys, monkeypatch):
     assert rec["styled_conv_impl"] == "xla"
 
 
-def test_main_emits_exactly_one_json_line(capsys, monkeypatch):
+def test_main_emits_exactly_one_json_line(bench_state, capsys, monkeypatch):
     """Stages that write to stdout (the BagGAN reference-parity logger
     does) must not break the driver's one-JSON-line contract: main()
     runs everything under redirect_stdout(stderr) and prints only the
