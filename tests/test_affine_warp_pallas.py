@@ -51,20 +51,28 @@ def _mixed_batch_M(h, w):
     return jnp.asarray(np.stack(mats), jnp.float32)
 
 
-def test_pallas_forward_matches_xla():
+@pytest.mark.parametrize(
+    "h",
+    [
+        33,  # the fast smoke shape — one per kernel stays in the default
+        #    selection (pytest.ini budget); everything heavier is slow
+        pytest.param(300, marks=pytest.mark.slow),  # ragged vs 256/128 tiles
+    ],
+)
+def test_pallas_forward_matches_xla(h):
     """fp32 forward parity: every selection picks exactly one element and
     the lerp algebra is identical, so the kernel matches the XLA pass to
     1 ulp (the only difference is FMA contraction inside the fused lerp)
     — including on a ragged shape (W and out_len not multiples of the
     256/128 tiles)."""
-    for h in (33, 300):
-        x = _smooth_image(4, h, h, 2)
-        M = _mixed_batch_M(h, h)
-        y_x = np.asarray(affine_warp_shear(x, M, pass_impl="xla"))
-        y_p = np.asarray(affine_warp_shear(x, M, pass_impl="pallas"))
-        np.testing.assert_allclose(y_p, y_x, atol=1e-6)
+    x = _smooth_image(4, h, h, 2)
+    M = _mixed_batch_M(h, h)
+    y_x = np.asarray(affine_warp_shear(x, M, pass_impl="xla"))
+    y_p = np.asarray(affine_warp_shear(x, M, pass_impl="pallas"))
+    np.testing.assert_allclose(y_p, y_x, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pallas_forward_bf16():
     """bf16 forward parity (selection exact in any dtype; lerp rounding
     matched to the XLA pass's x.dtype arithmetic)."""
@@ -79,6 +87,7 @@ def test_pallas_forward_bf16():
     np.testing.assert_allclose(y_p, y_x, atol=1e-2)
 
 
+@pytest.mark.slow
 def test_pallas_vjp_matches_xla():
     """First-order image cotangents match the XLA pass's autodiff."""
     h = 49
@@ -96,6 +105,7 @@ def test_pallas_vjp_matches_xla():
     np.testing.assert_allclose(g_p, g_x, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_adjoint_identity():
     """<A x, w> == <x, A^T w> to fp precision (linearity of the warp)."""
     h = 40
@@ -110,6 +120,7 @@ def test_pallas_adjoint_identity():
     assert abs(lhs - rhs) < 1e-3
 
 
+@pytest.mark.slow
 def test_pallas_double_grad_matches_xla():
     """R1's shape of differentiation: d/dx of ||d/dx sum(warp(x))||² —
     exercises the mutual custom_vjp closure (the VJP of the transpose
@@ -132,6 +143,7 @@ def test_pallas_double_grad_matches_xla():
     np.testing.assert_allclose(gg_p, gg_x, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_through_ada_pipeline():
     """End-to-end ADA geometric augment with warp_impl='shear_pallas'
     equals the XLA shear path (same transforms, same key)."""
@@ -147,6 +159,7 @@ def test_pallas_through_ada_pipeline():
     )
 
 
+@pytest.mark.slow
 def test_pallas_over_ada_transform_distribution():
     """Fuzz the kernel against the XLA pass across ADA's own composed
     transform sampler at p=1 (flips, 90° rotations, translations,
@@ -165,6 +178,7 @@ def test_pallas_over_ada_transform_distribution():
         np.testing.assert_allclose(y_p, y_x, atol=1e-6)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "shape,out_len",
     [

@@ -353,6 +353,7 @@ def test_affine_warp_shear_exact_for_separable_maps():
         np.testing.assert_allclose(ys, ye, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_affine_warp_shear_close_for_rotations():
     """Rotations interpolate on a sheared lattice (|eps| <= 1 by transpose
     conditioning): tolerance parity on smooth images, mixed per-image
@@ -377,6 +378,7 @@ def test_affine_warp_shear_close_for_rotations():
     assert np.abs(ys - ye).mean() < 0.005
 
 
+@pytest.mark.slow
 def test_affine_warp_shear_backward_uses_rolls_only():
     """The entire point: jax.grad through the shear warp is rolls + selects
     + transposed matmuls. A scatter (or gather) op in the compiled backward
@@ -408,6 +410,7 @@ def test_affine_warp_shear_backward_uses_rolls_only():
     assert abs(lhs - rhs) < 1e-3
 
 
+@pytest.mark.slow
 def test_random_apply_affine_shear_matches_exact_impl():
     """End-to-end ADA geometric pipeline (pad -> 2x up -> warp -> 2x down):
     the shear and exact warp impls agree tightly after the wavelet
@@ -425,6 +428,7 @@ def test_random_apply_affine_shear_matches_exact_impl():
     assert d.max() < 0.12  # corner pixels of strong rotations
 
 
+@pytest.mark.slow
 def test_affine_warp_shear_close_over_ada_transform_distribution():
     """Fuzz vs the exact warp across matrices drawn from ADA's OWN
     composed-transform sampler at full augmentation strength (p=1): every
@@ -489,6 +493,7 @@ def test_styled_conv3x3_pallas_parity():
                                atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_styled_conv3x3_pallas_grad_is_composite_vjp():
     """custom_vjp backward = the XLA composite's VJP, exactly (training
     differentiates through identical math)."""
@@ -531,6 +536,7 @@ def test_styled_conv3x3_pallas_falls_back_on_unsupported_shapes():
                                   np.asarray(styled_conv3x3_ref(*args)))
 
 
+@pytest.mark.slow
 def test_styled_conv3x3_pallas_bf16():
     from jax.experimental.pallas import tpu as pltpu
 
@@ -550,6 +556,7 @@ def test_styled_conv3x3_pallas_bf16():
                                atol=0.15, rtol=0.05)
 
 
+@pytest.mark.slow
 def test_generator_pallas_styled_conv_impl_parity():
     """GANECDOTES_STYLED_CONV_IMPL='pallas' swaps every non-up StyledConv in
     the synthesis stack for the fused kernel without changing the output."""
@@ -626,6 +633,7 @@ def test_generator_subpixel_up_conv_impl_parity():
                                    atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_styled_up_conv3x3_pallas_parity_and_grad():
     """The fused up-kernel (polyphase matmuls + in-VMEM depth-to-space +
     epilogue) matches the sub-pixel composite exactly; its custom_vjp is
@@ -717,6 +725,7 @@ def test_styled_up_conv3x3_pallas_falls_back_to_conv_transpose_composite():
     )
 
 
+@pytest.mark.slow
 def test_generator_pallas_impl_covers_up_convs_too():
     """STYLED_CONV_IMPL='pallas' routes BOTH conv kinds (up and non-up)
     through the fused kernels without changing the synthesis output."""
