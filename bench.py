@@ -848,7 +848,8 @@ def pretrain_steps_per_s(method="swav", iters=10, sample_batch=None,
 
 
 def baggan_step_stats(iters=8, size=256, batch=16, mlp_layers=8,
-                      compute_dtype=None, key_prefix="baggan"):
+                      compute_dtype=None, key_prefix="baggan",
+                      ada_warp_impl=None):
     """BagGAN-HQ adversarial training throughput at 256², batch 16, ADA on
     (the scripts/gan_step_bench.py configuration PERFORMANCE.md documents
     as D 174 + G 107 ms = 57 img/s). Returns {'baggan_d_ms', 'baggan_g_ms',
@@ -880,6 +881,8 @@ def baggan_step_stats(iters=8, size=256, batch=16, mlp_layers=8,
         losses_to_print=["g_gan", "d"],
         start_epoch=1, continue_train=False, load_net=False,
     )
+    if ada_warp_impl is not None:  # A/B knob (warp-kernel attribution)
+        cfg.ada_warp_impl = ada_warp_impl
     gan = BagGANHQ(cfg)
     gan.setup_gan()
     real = jnp.asarray(
