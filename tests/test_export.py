@@ -16,6 +16,7 @@ import zipfile
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ganecdotes_tpu.runtime.export import export_fn, export_serving, load_exported
 
@@ -77,6 +78,7 @@ def _tiny_pipeline(tmp_path):
     return pipe
 
 
+@pytest.mark.slow
 def test_export_serving_matches_live_pipeline(tmp_path):
     pipe = _tiny_pipeline(tmp_path)
     path = str(tmp_path / "serving.ganex")

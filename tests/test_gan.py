@@ -307,6 +307,7 @@ def test_bagganhq_style_mixing_g_step(tmp_path):
     assert np.isfinite(gan.get_current_losses()["d"])
 
 
+@pytest.mark.slow
 def test_bagganhq_wgangp_step_with_remat(tmp_path):
     """wgangp mode routes every D forward through jax.checkpoint (the
     gradient penalty's grad-of-grad otherwise keeps all D residuals live
@@ -362,6 +363,7 @@ def test_bagganhq_wgangp_step_with_remat(tmp_path):
     assert pre_leaf.is_deleted(), "GAN step no longer donates params"
 
 
+@pytest.mark.slow
 def test_wgangp_selective_remat_matches_full_remat(tmp_path):
     """wgangp_remat='gp' (checkpoint only the gradient-penalty branch,
     leave the plain D(real)/D(fake) forwards unremat'd) is a memory/speed
@@ -451,6 +453,7 @@ def test_compute_dtype_rejects_unknown_values(tmp_path):
         BagGANHQ(_tiny_gan_cfg(tmp_path, compute_dtype="float16"))
 
 
+@pytest.mark.slow
 def test_compute_dtype_bf16_training_tracks_fp32(tmp_path):
     """compute_dtype='bfloat16' (mixed-precision D/G steps, fp32 master
     params + Adam moments) must (a) keep every param/opt leaf fp32,
@@ -927,6 +930,7 @@ def test_baggan_export_roundtrip_into_reference_torch(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_ada_warp_impl_auto_resolution(tmp_path):
     """The trainer's ada_warp_impl default 'auto' resolves per backend
     (pallas kernel on TPU, XLA passes elsewhere); explicit values pass

@@ -162,6 +162,7 @@ def test_randomize_noise_default_is_jitted_and_fresh():
     assert np.allclose(np.asarray(im_a), np.asarray(im_b))
 
 
+@pytest.mark.slow
 def test_compiled_cache_is_lru_bounded():
     """A shape/config sweep must not grow the jitted-closure cache without
     bound (a long-lived GUI session leaks compiled programs otherwise)."""

@@ -84,6 +84,7 @@ def test_shard_batch_and_replicate_shardings():
     assert p["w"].sharding.spec == jax.sharding.PartitionSpec()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_full_training_step():
     import __graft_entry__ as ge
 

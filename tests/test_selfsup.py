@@ -220,6 +220,7 @@ def test_sinkhorn_tiling_mosaic_legal():
         assert 2 * tb * kphys * 4 <= 9 * 2**20, (b, k, tiles)
 
 
+@pytest.mark.slow
 def test_sinkhorn_pallas_fuzz():
     # seeded sweep over shapes (incl. lane-unaligned K, the unpadded
     # whole-row escape), iteration counts (incl. the niters=0 edge:
