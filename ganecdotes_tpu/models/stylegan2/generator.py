@@ -226,7 +226,18 @@ def _modulated_conv_apply(
     x = x * s[:, None, None, :].astype(x.dtype)
 
     if up:
-        if UP_CONV_IMPL == "subpixel" and kh == 3 and len(blur_kernel) == 4:
+        # 'auto': per-layer policy — subpixel only where the post-transpose
+        # blur runs with half-empty vector lanes (C_out < 128, i.e. the
+        # 512²-and-up pyramid tail). Measured v5e (car-512 serving, batch
+        # 128): the 512² blur is the program's worst op (28.8 ms at
+        # 333 GB/s — (8,128) tiles half-empty at C=64) and composing it
+        # into the polyphase conv wins there, while at the wide levels the
+        # depthwise-conv blur beats the composed form (whole-net subpixel
+        # measured 403 vs 528 img/s).
+        use_subpixel = UP_CONV_IMPL == "subpixel" or (
+            UP_CONV_IMPL == "auto" and out_ch < 128
+        )
+        if use_subpixel and kh == 3 and len(blur_kernel) == 4:
             from ganecdotes_tpu.ops.subpixel_upconv import (
                 upsampled_conv2x_blur,
             )

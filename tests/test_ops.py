@@ -633,6 +633,38 @@ def test_generator_subpixel_up_conv_impl_parity():
                                    atol=2e-4, rtol=1e-4)
 
 
+def test_generator_auto_up_conv_impl_parity_on_narrow_tail():
+    """UP_CONV_IMPL='auto' composes the blur into the up-conv ONLY for
+    narrow levels (out_ch < 128 — the 512² pyramid tail, where the
+    depthwise blur runs with half-empty vector lanes) and must equal the
+    xla path bit-for-bit in function value. A narrow res2chlmap triggers
+    the policy at CPU-testable sizes."""
+    from ganecdotes_tpu.models.stylegan2 import generator as G
+
+    cmap = {4: 256, 8: 96, 16: 64, 32: 64}
+    params, meta = G.init_generator(
+        jax.random.PRNGKey(0), 32, res2chlmap=cmap
+    )
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 512))
+
+    img_ref, feats_ref = G.generator_forward(
+        params, meta, [z], randomize_noise=False
+    )
+    old = G.UP_CONV_IMPL
+    try:
+        G.UP_CONV_IMPL = "auto"
+        img_a, feats_a = G.generator_forward(
+            params, meta, [z], randomize_noise=False
+        )
+    finally:
+        G.UP_CONV_IMPL = old
+    np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_ref),
+                               atol=2e-4, rtol=1e-4)
+    for a, b in zip(feats_a, feats_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-4)
+
+
 @pytest.mark.slow
 def test_styled_up_conv3x3_pallas_parity_and_grad():
     """The fused up-kernel (polyphase matmuls + in-VMEM depth-to-space +
