@@ -42,7 +42,19 @@ numbers (BASELINE.json "published": {}).
                                 family's headline, scatter-free warp).
   * baggan_bf16_*             — the same pair under the mixed-precision
                                 trainer knob (compute_dtype='bfloat16':
-                                bf16 convs, fp32 master params/losses).
+                                bf16 convs, fp32 master params/losses);
+  * swav/simclr_pretrain_steps_per_s, swav_pretrain_sb2_steps_per_s
+                              — production SSL pretrain update rates (sb2 =
+                                2 vmapped samples/update, recording the
+                                single-chip sample-batch rejection);
+  * export_serving_img_per_s, export_vs_live
+                              — the .ganex AOT serving artifact's
+                                throughput vs the live-jit program (the
+                                deployment story carries the perf);
+  * skipped / partial / elapsed_s
+                              — run-robustness metadata (stages skipped at
+                                the BENCH_DEADLINE_S gate; partial-emission
+                                note when the watchdog/SIGTERM printed).
 
 Set BENCH_TRACE_DIR=/tmp/trace to capture a jax.profiler trace of one
 headline step before the sweep (inspect with tensorboard/xprof).
@@ -90,7 +102,7 @@ METRIC = "256x256 generate+segment throughput (hfc_with_swav path)"
 # and BENCH_r04 (driver timeout before the single end-of-run print) both
 # left the round with parsed=null. bench.py is now structurally unable to
 # produce a null round:
-#   (a) a global deadline (BENCH_DEADLINE_S, default 1500 s): every stage
+#   (a) a global deadline (BENCH_DEADLINE_S, default 1200 s): every stage
 #       checks a monotonic clock first and is skipped — recorded in
 #       extra["skipped"] — once the run is past ~80% of the deadline;
 #   (b) incremental emission: the best payload so far lives in _STATE and
@@ -107,7 +119,12 @@ METRIC = "256x256 generate+segment throughput (hfc_with_swav path)"
 # ---------------------------------------------------------------------------
 
 _T0 = time.monotonic()
-_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
+# default chosen BELOW any plausible driver timeout (r04 was externally
+# killed at an unknown budget; the full stage list measured 1210 s cold-ish
+# and ~half that with the persistent compile cache warm) — if the watchdog
+# never gets to fire because an external kill comes first, the SIGTERM
+# handler is the only (weaker) fallback, so the deadline must win the race
+_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1200"))
 _EMIT_MARGIN_S = 20.0
 _STAGE_GATE_FRAC = 0.8
 _LOCK = threading.RLock()
