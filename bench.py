@@ -929,26 +929,42 @@ def baggan_step_stats(iters=8, size=256, batch=16, mlp_layers=8,
         return (time.perf_counter() - t0) / iters
 
     inj = jnp.asarray(min(3, gan.gen_meta["n_latent"] - 1))
-    td = chained(
-        lambda r: gan._d_step(gan.disc_params, gan.opt_d_state,
-                              gan.generator_params, r, [z, z], key,
-                              gan.ada_state, inj)[:4]
-    )
-    # keep the UPDATED g params/opt_state in the chain's output: the loss
-    # alone is value_and_grad's primal, so returning only it lets XLA DCE
-    # the generator backward + Adam update and the G timing degenerates to
-    # forward-only (advisor finding, round 4 — earlier rounds' baggan_g_ms
-    # under-reported for exactly this reason)
-    tg = chained(
-        lambda r: gan._g_step(gan.generator_params, gan.opt_g_state,
-                              gan.disc_params, [z, z], key,
-                              gan.ada_state["p"] + r[0, 0, 0, 0] * 0,
-                              inj)[:3]
-    )
+    chains = baggan_chains(gan, z, key, inj)
+    td = chained(chains["d"])
+    tg = chained(chains["g"])
     return {
         f"{key_prefix}_d_ms": round(td * 1e3, 1),
         f"{key_prefix}_g_ms": round(tg * 1e3, 1),
         f"{key_prefix}_img_per_s": round(batch / (td + tg), 1),
+    }
+
+
+def baggan_chains(gan, z, key, inj):
+    """The timed D/G step bodies, as functions of the real batch.
+
+    Every chain keeps the UPDATED params/opt_state in its output: the loss
+    alone is value_and_grad's *primal*, so returning only it lets XLA DCE
+    the whole parameter backward + optimizer update and the timing
+    degenerates to forward-only (advisor finding, round 4 — earlier
+    rounds' baggan_g_ms under-reported for exactly this reason; the honest
+    re-measure invalidated two rounds of published G/R1/PPL numbers).
+    Module-level so ``test_bench.py`` can pin the backward-liveness
+    property via XLA cost analysis.
+    """
+    return {
+        "d": lambda r: gan._d_step(gan.disc_params, gan.opt_d_state,
+                                   gan.generator_params, r, [z, z], key,
+                                   gan.ada_state, inj)[:4],
+        "g": lambda r: gan._g_step(gan.generator_params, gan.opt_g_state,
+                                   gan.disc_params, [z, z], key,
+                                   gan.ada_state["p"] + r[0, 0, 0, 0] * 0,
+                                   inj)[:3],
+        # forward-only oracle for the regression test: keeping ONLY the
+        # loss is exactly the round-4 bug
+        "g_loss_only": lambda r: gan._g_step(
+            gan.generator_params, gan.opt_g_state, gan.disc_params,
+            [z, z], key, gan.ada_state["p"] + r[0, 0, 0, 0] * 0, inj
+        )[2],
     }
 
 

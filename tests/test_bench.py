@@ -349,3 +349,59 @@ def test_main_emits_exactly_one_json_line(bench_state, capsys, monkeypatch):
     assert len(lines) == 1, cap.out
     assert json.loads(lines[0])["value"] == 1.0
     assert "logger noise" in cap.err
+
+
+def test_baggan_g_chain_keeps_backward_live():
+    """Regression guard for the round-4 timing-harness bug: a chain that
+    returns only the loss (value_and_grad's primal) lets XLA DCE the whole
+    parameter backward + optimizer update, so the timed program measures
+    forward-only cost. The shipped G chain must carry materially more
+    FLOPs than the loss-only oracle (backward ≈ 2x forward for convnets).
+    Tiny 16p shapes; pure compile + cost analysis, no training."""
+    import types
+
+    import numpy as np
+
+    from ganecdotes_tpu.gan.train import BagGANHQ
+
+    cfg = types.SimpleNamespace(
+        compute_dtype=None, out_dir="/tmp/ganb_dce",
+        checkpoint_dir="/tmp/ganb_dce/ckpt",
+        is_train=True, image_size=16, latent_dim=32, num_channels=3,
+        batch_size=2, gan_mode="vanilla", use_ppl=False, r1_lambda=10,
+        ppl_lambda=2, path_batch_shrink=1, ppl_decay=0.01, d_reg_every=4,
+        g_reg_every=4, mixing_prob=0.0, chl_multiplier=1,
+        g_reg_ratio=4 / 5, d_reg_ratio=16 / 17, augment=False,
+        augment_p=0, ada_target=0.6, ada_length=100, lr=0.002, beta1=0.0,
+        lr_policy="linear",
+        lr_params=dict(epoch_count=1, n_epochs=2, n_epochs_decay=2),
+        generator_params=dict(mlp_layers=1),
+        losses_to_print=["g_gan", "d"],
+        start_epoch=1, continue_train=False, load_net=False,
+    )
+    gan = BagGANHQ(cfg)
+    gan.setup_gan()
+    real = jnp.asarray(
+        np.random.RandomState(0).rand(2, 16, 16, 3).astype(np.float32)
+        * 2 - 1
+    )
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 32))
+    key = jax.random.PRNGKey(1)
+    inj = jnp.asarray(0)
+    chains = bench.baggan_chains(gan, z, key, inj)
+
+    def flops(fn):
+        ca = jax.jit(fn).lower(real).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+
+    f_full = flops(chains["g"])
+    f_fwd = flops(chains["g_loss_only"])
+    assert f_full > 1.5 * f_fwd, (
+        f"G chain FLOPs {f_full:.3g} vs forward-only {f_fwd:.3g} — "
+        "the generator backward has been DCE'd out of the timed program"
+    )
+    # the D chain keeps its updated params too
+    f_d = flops(chains["d"])
+    assert f_d > 1.5 * f_fwd
